@@ -1,0 +1,51 @@
+"""boltzfft — TPU-native fast Fourier spectral method for the Boltzmann
+collision operator.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+C++/CUDA code ``i3s93/Boltzmann-Fourier-Spectral-Method``: Gauss-Legendre x
+spherical-design quadrature decomposition of the VHS collision kernel, batched
+3-D FFT evaluation of the gain/loss terms, BKW analytic validation, moments,
+RK time stepping, and ICI sharding of the quadrature-node and ensemble axes.
+"""
+
+from .bkw import bkw_dfdt, bkw_f, bkw_k, maxwellian
+from .grid import VelocityGrid, domain_from_support
+from .moments import Moments, moments
+from .operator import collide, gain_spectrum, make_collision_operator
+from .quadrature import (
+    SPHERICAL_DESIGN_FILES,
+    Quadrature1D,
+    SphericalQuadrature,
+    gauss_legendre,
+    spherical_design,
+)
+from .stats import RunStats, error_norms, time_fn
+from .weights import CollisionConfig, Precomp, build_precomp, sincc
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CollisionConfig",
+    "Precomp",
+    "Quadrature1D",
+    "RunStats",
+    "SphericalQuadrature",
+    "SPHERICAL_DESIGN_FILES",
+    "VelocityGrid",
+    "bkw_dfdt",
+    "bkw_f",
+    "bkw_k",
+    "build_precomp",
+    "collide",
+    "domain_from_support",
+    "error_norms",
+    "gain_spectrum",
+    "gauss_legendre",
+    "make_collision_operator",
+    "maxwellian",
+    "moments",
+    "Moments",
+    "sincc",
+    "spherical_design",
+    "time_fn",
+]

@@ -1,0 +1,42 @@
+"""On-device moments of a velocity distribution (mass/momentum/energy/temperature).
+
+The reference has no moments module (its ``statistics.hpp`` does run-timing
+stats only); the BASELINE north-star asks for on-device moments computed inside
+the jitted step.  These are jittable jnp reductions over the (cell-centered)
+velocity grid; conservation of the first five moments of ``Q`` (mass, momentum,
+energy) to spectral accuracy is a correctness probe used by the test suite.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Moments(NamedTuple):
+    mass: jnp.ndarray  # rho            = sum f dv^3
+    momentum: jnp.ndarray  # (3,)        = sum v f dv^3
+    energy: jnp.ndarray  # 0.5 sum |v|^2 f dv^3
+    temperature: jnp.ndarray  # T = (2E/rho - |u|^2) / 3
+
+
+def moments(f: jnp.ndarray, v: jnp.ndarray, dv: float) -> Moments:
+    """Compute moments of ``f`` on the tensor grid with 1-D coordinates ``v``.
+
+    ``f`` has shape (..., N, N, N) — leading axes (e.g. an ensemble axis) are
+    broadcast through.
+    """
+    w = dv**3
+    mass = jnp.sum(f, axis=(-3, -2, -1)) * w
+    mx = jnp.sum(f * v[:, None, None], axis=(-3, -2, -1)) * w
+    my = jnp.sum(f * v[None, :, None], axis=(-3, -2, -1)) * w
+    mz = jnp.sum(f * v[None, None, :], axis=(-3, -2, -1)) * w
+    momentum = jnp.stack([mx, my, mz], axis=-1)
+    r_sq = (
+        v[:, None, None] ** 2 + v[None, :, None] ** 2 + v[None, None, :] ** 2
+    )
+    energy = 0.5 * jnp.sum(f * r_sq, axis=(-3, -2, -1)) * w
+    u_sq = jnp.sum((momentum / mass[..., None]) ** 2, axis=-1)
+    temperature = (2.0 * energy / mass - u_sq) / 3.0
+    return Moments(mass=mass, momentum=momentum, energy=energy, temperature=temperature)

@@ -1,0 +1,174 @@
+"""The Boltzmann collision operator as a pure, jittable JAX function.
+
+Computes ``Q(f, f) = Q_gain - Q_loss`` for the spatially homogeneous Boltzmann
+equation with a VHS kernel via the fast Fourier spectral method.  The whole
+algorithm is three batched 3-D FFT passes plus fused elementwise work per
+quadrature node, with a deterministic weighted reduction over nodes replacing
+the reference's atomic accumulation (``FFTWBoltzmannOperator.cpp:267-270``,
+``BoltzmannCUDAKernels.cu:120-121``) — run-to-run and device-count invariant by
+construction.
+
+Two implementations (selected by ``CollisionConfig.impl``):
+
+* ``"c2c"`` — reference-faithful complex transforms; the direct analog of
+  ``FFTWBoltzmannOperator::computeCollision`` (``FFTWBoltzmannOperator.cpp:147-334``)
+  with jnp-normalized inverse FFTs absorbing the reference's ``fft_scale``
+  bookkeeping (``FFTWBoltzmannOperator.cpp:162``).
+* ``"rfft"`` — TPU-fast path exploiting a structural fact the reference leaves
+  on the table (its own TO-DO at ``CUDABoltzmannOperator.cu:36``): for real
+  ``f``, both shifted convolution factors
+
+      g1 = IFFT(alpha1 . f_hat),   g2 = IFFT(conj(alpha1) . f_hat)
+
+  are real (alpha1 is a pure phase with Hermitian symmetry, alpha1(-l) =
+  conj(alpha1(l))), so every transform in the pipeline can be a real-to-complex
+  half-spectrum FFT: ~2x less FLOPs and HBM traffic than the c2c pipeline.
+
+The quadrature-node batch axis is processed in chunks with ``lax.scan`` so HBM
+stays bounded at large ``Nv``/``Ns`` (the reference materializes five
+``B * N^3`` work arrays, ``FFTWBoltzmannOperator.cpp:30-37`` — impossible at
+Nv=64/Ns=32); accumulation across chunks is a carried sum over ``Q_gain_hat``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .weights import CollisionConfig, Precomp, build_precomp
+
+_FFT_AXES = (-3, -2, -1)
+
+
+def _alpha_factors(cfg: CollisionConfig, pre: Precomp, rho, sigma):
+    """Separable per-axis phase factors of alpha1 for a chunk of nodes.
+
+    alpha1(b, l) = exp(-i pi/(2L) rho_b (l . sigma_b))
+                 = ax[b, lx] * ay[b, ly] * az[b, lz]
+    (phases built on the fly exactly like ``FFTWBoltzmannOperator.cpp:204-214``,
+    but factored per axis: 3 (C, N) tables instead of (C, N^3)).
+    """
+    coef = -np.pi / (2.0 * cfg.domain_length)
+    cd = cfg.complex_dtype
+    px = (coef * rho[:, None]) * (sigma[:, 0:1] * pre.lx[None, :])
+    py = (coef * rho[:, None]) * (sigma[:, 1:2] * pre.ly[None, :])
+    pz = (coef * rho[:, None]) * (sigma[:, 2:3] * pre.lz[None, :])
+    ax = jnp.exp(1j * px.astype(cd))
+    ay = jnp.exp(1j * py.astype(cd))
+    az = jnp.exp(1j * pz.astype(cd))
+    return ax, ay, az
+
+
+def _beta1(cfg: CollisionConfig, pre: Precomp, rho):
+    """Gain radial kernel beta1(b, l) = 4 pi b_gamma sincc(pi rho_b |l| / (2L)).
+
+    (``FFTWBoltzmannOperator.cpp:261-262``; dtype-matched eps as in the
+    templated device helper ``BoltzmannCUDAKernels.hpp:8-29``.)
+    """
+    eps = float(np.finfo(cfg.dtype).eps)
+    arg = (np.pi / (2.0 * cfg.domain_length)) * rho[:, None, None, None] * pre.norm_l[None]
+    return (4.0 * np.pi * cfg.b_gamma) * (jnp.sin(arg + eps) / (arg + eps))
+
+
+def _gain_chunk(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
+    """Partial gain spectrum for one chunk of quadrature nodes.
+
+    Returns sum_b gain_w[b] * beta1[b, l] * FFT(g1_b * g2_b)[l] for the chunk.
+    """
+    ax, ay, az = _alpha_factors(cfg, pre, rho, sigma)
+    # alpha1 * f_hat via broadcasted outer product (XLA fuses the broadcasts;
+    # only the (C, modes) FFT input is materialized).
+    a1 = ax[:, :, None, None] * ay[:, None, :, None] * az[:, None, None, :]
+    a1f = a1 * f_hat[None]
+    a2f = jnp.conj(a1) * f_hat[None]
+
+    n = cfg.nv
+    if cfg.impl == "rfft":
+        g1 = jnp.fft.irfftn(a1f, s=(n, n, n), axes=_FFT_AXES)
+        g2 = jnp.fft.irfftn(a2f, s=(n, n, n), axes=_FFT_AXES)
+        h_hat = jnp.fft.rfftn(g1 * g2, axes=_FFT_AXES)
+    else:
+        g1 = jnp.fft.ifftn(a1f, axes=_FFT_AXES)
+        g2 = jnp.fft.ifftn(a2f, axes=_FFT_AXES)
+        h_hat = jnp.fft.fftn(g1 * g2, axes=_FFT_AXES)
+
+    w = gain_w[:, None, None, None] * _beta1(cfg, pre, rho)
+    return jnp.sum(w.astype(h_hat.dtype) * h_hat, axis=0)
+
+
+def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
+    """Full gain spectrum Q_gain_hat, chunked over the node batch via scan."""
+    c, n_chunks = cfg.chunk, cfg.n_chunks
+    if n_chunks == 1:
+        return _gain_chunk(cfg, pre, f_hat, pre.rho, pre.sigma, pre.gain_w)
+
+    rho = pre.rho.reshape(n_chunks, c)
+    sigma = pre.sigma.reshape(n_chunks, c, 3)
+    gain_w = pre.gain_w.reshape(n_chunks, c)
+
+    def body(acc, chunk):
+        r, s, w = chunk
+        return acc + _gain_chunk(cfg, pre, f_hat, r, s, w), None
+
+    init = jnp.zeros(pre.norm_l.shape, dtype=f_hat.dtype)
+    acc, _ = jax.lax.scan(body, init, (rho, sigma, gain_w))
+    return acc
+
+
+def collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate Q(f, f) on the velocity grid.  Pure and jittable.
+
+    Pipeline (reference: ``FFTWBoltzmannOperator.cpp:147-334``, normalization
+    mapped to jnp's 1/N-normalized inverse transforms):
+
+      1. ``f_hat = FFT(f)``
+      2. per node: ``g1 = IFFT(alpha1 f_hat)``, ``g2 = IFFT(conj(alpha1) f_hat)``,
+         ``h_hat = FFT(g1 g2)``
+      3. ``Q_gain = Re IFFT( sum_b w_b beta1_b h_hat_b )``  (deterministic einsum,
+         not atomics)
+      4. ``Q_loss = Re IFFT(beta2 f_hat) * f``
+      5. ``Q = Q_gain - Q_loss``
+    """
+    f = f.astype(cfg.real_dtype)
+    n = cfg.nv
+    if cfg.impl == "rfft":
+        f_hat = jnp.fft.rfftn(f, axes=_FFT_AXES)
+        q_gain_hat = gain_spectrum(cfg, pre, f_hat)
+        q_gain = jnp.fft.irfftn(q_gain_hat, s=(n, n, n), axes=_FFT_AXES)
+        loss_conv = jnp.fft.irfftn(
+            pre.beta2.astype(f_hat.dtype) * f_hat, s=(n, n, n), axes=_FFT_AXES
+        )
+    else:
+        f_hat = jnp.fft.fftn(f.astype(cfg.complex_dtype), axes=_FFT_AXES)
+        q_gain_hat = gain_spectrum(cfg, pre, f_hat)
+        q_gain = jnp.fft.ifftn(q_gain_hat, axes=_FFT_AXES).real
+        loss_conv = jnp.fft.ifftn(
+            pre.beta2.astype(f_hat.dtype) * f_hat, axes=_FFT_AXES
+        ).real
+    return q_gain - loss_conv * f
+
+
+def make_collision_operator(
+    cfg: CollisionConfig, jit: bool = True
+) -> Tuple[Callable[[jnp.ndarray, Precomp], jnp.ndarray], Precomp]:
+    """Build ``(collide_fn, precomp)`` for a configuration.
+
+    ``collide_fn(f, precomp) -> Q`` is the entire collision operator as one
+    (optionally jitted) pure function — the TPU-native replacement for the
+    reference's ``AbstractCollisionOperator`` hierarchy
+    (``AbstractCollisionOperator.hpp:7-26``): backends collapse into XLA, state
+    into the ``Precomp`` pytree.
+    """
+    pre = build_precomp(cfg)
+    fn = partial(collide, cfg)
+
+    def collide_fn(f, precomp):
+        return fn(precomp, f)
+
+    if jit:
+        collide_fn = jax.jit(collide_fn)
+    return collide_fn, pre

@@ -1,0 +1,193 @@
+"""Configuration and one-time precompute for the collision operator.
+
+The reference rebuilds the transform weights on the fly inside its hot loop
+(``FFTWBoltzmannOperator.cpp:204-222, 252-273``) because materializing the full
+``alpha1`` table costs ``B * N^3`` complex words (the abandoned precompute path
+at ``FFTWBoltzmannOperator.cpp:72-143``).  The TPU rebuild exploits that the
+phase is *separable*:
+
+    alpha1(r, s, l) = exp(-i c rho_r (l . sigma_s))
+                    = ax(b, lx) * ay(b, ly) * az(b, lz)
+
+so per-node phases are outer products of three ``(B, N)`` complex vectors —
+tiny.  The kernel magnitude ``beta1(r, l) = 4 pi b_gamma sincc(pi rho_r |l| / (2L))``
+is recomputed per chunk from ``|l|`` (a single (N,N,N) table), and the loss
+multiplier ``beta2`` (grid-sized, node-independent) is fully precomputed.
+
+Everything static (shapes, domain constants, dtype, chunking) lives in
+``CollisionConfig``; everything traced lives in the ``Precomp`` pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import grid as _grid
+from . import modes as _modes
+from . import quadrature as _quad
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionConfig:
+    """Static configuration of a collision operator (hashable; jit-safe).
+
+    Physics parameters follow the reference constructor
+    (``FFTWBoltzmannOperator.hpp:30-36``): VHS kernel
+    ``B(|g|, cos th) = b_gamma * |g|^gamma``; Maxwell molecules are
+    ``gamma=0, b_gamma=1/(4 pi)`` (``maxwell_bkw_fftw.cpp:54-55``).
+    """
+
+    nv: int = 32  # velocity grid points per axis
+    ns: int = 12  # spherical design size (see quadrature.SPHERICAL_DESIGN_FILES)
+    n_radial: Optional[int] = None  # Gauss-Legendre points; default nv
+    gamma: float = 0.0
+    b_gamma: float = 1.0 / (4.0 * math.pi)
+    support_radius: float = 5.0  # S
+    radial_radius: Optional[float] = None  # R; default 2*S
+    length: Optional[float] = None  # L; default ((3+sqrt 2)/2)*S
+    dtype: str = "float64"  # "float32" | "float64"
+    impl: str = "rfft"  # "rfft" (fast, real transforms) | "c2c" (reference-faithful)
+    node_chunk: Optional[int] = None  # nodes per scan step; None = whole batch
+
+    def __post_init__(self):
+        if self.impl not in ("rfft", "c2c"):
+            raise ValueError(f"impl must be 'rfft' or 'c2c', got {self.impl!r}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be float32/float64, got {self.dtype!r}")
+        if self.nv % 2 != 0:
+            raise ValueError("nv must be even (FFT mode ordering)")
+        if self.ns not in _quad.SPHERICAL_DESIGN_FILES:
+            raise ValueError(
+                f"No spherical design with {self.ns} points; available: "
+                f"{sorted(_quad.SPHERICAL_DESIGN_FILES)}"
+            )
+
+    # ---- derived static quantities -------------------------------------
+    @property
+    def n_gl(self) -> int:
+        return self.n_radial if self.n_radial is not None else self.nv
+
+    @property
+    def r_max(self) -> float:
+        if self.radial_radius is not None:
+            return self.radial_radius
+        return 2.0 * self.support_radius
+
+    @property
+    def domain_length(self) -> float:
+        if self.length is not None:
+            return self.length
+        return 0.5 * (3.0 + math.sqrt(2.0)) * self.support_radius
+
+    @property
+    def n_nodes(self) -> int:
+        """Quadrature batch size B = N_gl * N_sph."""
+        return self.n_gl * self.ns
+
+    @property
+    def chunk(self) -> int:
+        c = self.node_chunk if self.node_chunk is not None else self.n_nodes
+        return max(1, min(c, self.n_nodes))
+
+    @property
+    def n_chunks(self) -> int:
+        return -(-self.n_nodes // self.chunk)
+
+    @property
+    def n_nodes_padded(self) -> int:
+        return self.n_chunks * self.chunk
+
+    @property
+    def real_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    @property
+    def complex_dtype(self):
+        return jnp.complex128 if self.dtype == "float64" else jnp.complex64
+
+    @property
+    def velocity_grid(self) -> _grid.VelocityGrid:
+        return _grid.VelocityGrid(nv=self.nv, length=self.domain_length)
+
+
+class Precomp(NamedTuple):
+    """Traced (pytree) side of the operator: quadrature + mode tables.
+
+    Node-major arrays carry the flattened quadrature batch ``b = r * Ns + s``
+    padded to ``n_nodes_padded`` (padded entries have ``gain_w == 0``), so the
+    node axis shards/chunks cleanly.
+    """
+
+    rho: jnp.ndarray  # (Bp,)   radial node per batch entry
+    sigma: jnp.ndarray  # (Bp, 3) spherical direction per batch entry
+    gain_w: jnp.ndarray  # (Bp,)   w_gl * w_sph * rho^(gamma+2)
+    lx: jnp.ndarray  # (N,)    FFT-order modes, axis 0
+    ly: jnp.ndarray  # (N,)
+    lz: jnp.ndarray  # (N,) for c2c | (N/2+1,) for rfft (Nyquist -> -N/2)
+    norm_l: jnp.ndarray  # |l| on the (possibly half) mode grid
+    beta2: jnp.ndarray  # loss multiplier on the (possibly half) mode grid
+
+
+def sincc(x: np.ndarray | jnp.ndarray, eps: float):
+    """Singularity-free sinc: ``sin(x + eps) / (x + eps)``.
+
+    Reproduces the reference helper bit-for-bit (``FFTWBoltzmannOperator.hpp:17-21``;
+    dtype-matched eps as in ``BoltzmannCUDAKernels.hpp:8-29``), including its
+    tiny O(eps) bias away from 0 — required for 1e-12-level parity.
+    """
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    return xp.sin(x + eps) / (x + eps)
+
+
+def build_precomp(cfg: CollisionConfig) -> Precomp:
+    """Build the quadrature/mode/weight pytree (float64 host math, cast once)."""
+    n = cfg.nv
+    length = cfg.domain_length
+
+    gl = _quad.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
+    sph = _quad.spherical_design(cfg.ns)
+
+    # Node-major flattening b = r * Ns + s (FFTWBoltzmannOperator.cpp:196).
+    rho = np.repeat(gl.nodes, cfg.ns)  # (B,)
+    sigma = np.tile(sph.points, (cfg.n_gl, 1))  # (B, 3)
+    gain_w = np.repeat(
+        gl.weights * gl.nodes ** (cfg.gamma + 2.0), cfg.ns
+    ) * np.tile(sph.weights, cfg.n_gl)
+
+    # Pad the node axis so it splits into equal chunks (and shards evenly).
+    pad = cfg.n_nodes_padded - cfg.n_nodes
+    if pad:
+        rho = np.concatenate([rho, np.ones(pad)])
+        sigma = np.concatenate([sigma, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
+        gain_w = np.concatenate([gain_w, np.zeros(pad)])
+
+    lx = _modes.fft_modes(n)
+    ly = lx
+    lz = _modes.rfft_modes(n) if cfg.impl == "rfft" else lx
+    norm_l = _modes.mode_norm_grid(lx, ly, lz)
+
+    # Loss-term multiplier beta2(l) = sum_r 16 pi^2 b_gamma w_r rho_r^(gamma+2)
+    #   * sincc(pi rho_r |l| / L)   (FFTWBoltzmannOperator.cpp:287-293).
+    eps64 = float(np.finfo(np.float64).eps)
+    radial_w = gl.weights * gl.nodes ** (cfg.gamma + 2.0)  # (R,)
+    arg = (np.pi / length) * gl.nodes[:, None] * norm_l.reshape(1, -1)
+    beta2 = (
+        16.0 * np.pi**2 * cfg.b_gamma * (radial_w @ sincc(arg, eps64))
+    ).reshape(norm_l.shape)
+
+    rd = cfg.real_dtype
+    return Precomp(
+        rho=jnp.asarray(rho, rd),
+        sigma=jnp.asarray(sigma, rd),
+        gain_w=jnp.asarray(gain_w, rd),
+        lx=jnp.asarray(lx, rd),
+        ly=jnp.asarray(ly, rd),
+        lz=jnp.asarray(lz, rd),
+        norm_l=jnp.asarray(norm_l, rd),
+        beta2=jnp.asarray(beta2, rd),
+    )

@@ -1,0 +1,179 @@
+"""Collision-operator correctness: BKW oracle, cross-implementation parity,
+direct-sum parity, chunking invariance, conservation, determinism, dtypes.
+
+Mirrors the reference's validation strategy (SURVEY.md section 5) as a proper
+pytest suite: the BKW analytic solution is the accuracy oracle
+(``maxwell_bkw_fftw.cpp:144-166``), plus checks the reference never had.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import boltzfft as bz
+
+from reference_direct import direct_collision
+
+
+def _bkw_setup(cfg, t=6.5):
+    g = cfg.velocity_grid
+    rsq = g.r_squared()
+    return g, bz.bkw_f(rsq, t), bz.bkw_dfdt(rsq, t)
+
+
+class TestBKWOracle:
+    """Computed Q(f_bkw, f_bkw) vs analytic df/dt."""
+
+    @pytest.mark.parametrize("impl", ["rfft", "c2c"])
+    def test_nv16(self, impl):
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl=impl)
+        coll, pre = bz.make_collision_operator(cfg)
+        g, f, q_exact = _bkw_setup(cfg)
+        err = bz.error_norms(np.asarray(coll(f, pre)), q_exact, g.dv)
+        # calibrated: Linf = 5.549e-4 at this resolution
+        assert err["Linf"] < 6e-4
+
+    def test_nv32_reference_parity(self):
+        # The headline accuracy config: must match the FFTW f64 reference
+        # numbers (Results/maxwell_bkw_fftw_atomics.txt:19-21) to ~1e-12.
+        cfg = bz.CollisionConfig(nv=32, ns=12, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg)
+        g, f, q_exact = _bkw_setup(cfg)
+        err = bz.error_norms(np.asarray(coll(f, pre)), q_exact, g.dv)
+        np.testing.assert_allclose(err["L1"], 1.5403e-03, rtol=1e-4)
+        np.testing.assert_allclose(err["L2"], 1.0119e-04, rtol=1e-4)
+        np.testing.assert_allclose(err["Linf"], 4.2512e-05, rtol=1e-4)
+
+
+class TestCrossImplementationParity:
+    def test_rfft_matches_c2c(self):
+        cfg_r = bz.CollisionConfig(nv=16, ns=12, impl="rfft")
+        cfg_c = bz.CollisionConfig(nv=16, ns=12, impl="c2c")
+        coll_r, pre_r = bz.make_collision_operator(cfg_r)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg_r)
+        qr = np.asarray(coll_r(f, pre_r))
+        qc = np.asarray(coll_c(f, pre_c))
+        scale = np.abs(qc).max()
+        np.testing.assert_allclose(qr, qc, atol=1e-13 * scale)
+
+    def test_direct_sum_parity(self):
+        # Independent node-by-node NumPy implementation as oracle.
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=6, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        gl = bz.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
+        sph = bz.spherical_design(cfg.ns)
+        q_direct = direct_collision(
+            np.asarray(f),
+            gl.nodes,
+            gl.weights,
+            sph.points,
+            sph.weights,
+            cfg.domain_length,
+            cfg.gamma,
+            cfg.b_gamma,
+        )
+        q = np.asarray(coll(f, pre))
+        scale = np.abs(q_direct).max()
+        np.testing.assert_allclose(q, q_direct, atol=1e-13 * scale)
+
+    def test_direct_sum_parity_vhs(self):
+        # Non-Maxwell VHS kernel (hard spheres: gamma=1).
+        cfg = bz.CollisionConfig(
+            nv=8, ns=6, n_radial=6, gamma=1.0, b_gamma=1.0 / (4 * np.pi), impl="rfft"
+        )
+        coll, pre = bz.make_collision_operator(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        gl = bz.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
+        sph = bz.spherical_design(cfg.ns)
+        q_direct = direct_collision(
+            np.asarray(f), gl.nodes, gl.weights, sph.points, sph.weights,
+            cfg.domain_length, cfg.gamma, cfg.b_gamma,
+        )
+        q = np.asarray(coll(f, pre))
+        scale = np.abs(q_direct).max()
+        np.testing.assert_allclose(q, q_direct, atol=1e-13 * scale)
+
+
+class TestChunking:
+    @pytest.mark.parametrize("chunk", [1, 5, 12, 36, None])
+    def test_chunked_matches_unchunked(self, chunk):
+        # Chunk size (incl. a non-divisor forcing padding) must not change Q.
+        cfg_full = bz.CollisionConfig(nv=16, ns=6, impl="rfft", node_chunk=None)
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="rfft", node_chunk=chunk)
+        coll_f, pre_f = bz.make_collision_operator(cfg_full)
+        coll_c, pre_c = bz.make_collision_operator(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        q_full = np.asarray(coll_f(f, pre_f))
+        q_chunk = np.asarray(coll_c(f, pre_c))
+        scale = np.abs(q_full).max()
+        np.testing.assert_allclose(q_chunk, q_full, atol=1e-13 * scale)
+
+
+class TestPhysics:
+    def test_conservation(self):
+        # Mass, momentum and energy moments of Q vanish to spectral accuracy.
+        cfg = bz.CollisionConfig(nv=32, ns=12, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg)
+        g, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(f, pre))
+        m = bz.moments(q, np.asarray(g.v), g.dv)
+        # The fast spectral method conserves moments to quadrature accuracy
+        # (method error here is Linf ~ 4e-5); momentum vanishes by symmetry.
+        assert abs(float(m.mass)) < 1e-5
+        assert np.abs(np.asarray(m.momentum)).max() < 1e-10
+        assert abs(float(m.energy)) < 1e-3
+
+    def test_maxwellian_equilibrium(self):
+        # Q(M, M) = 0 for a Maxwellian (up to quadrature error).
+        cfg = bz.CollisionConfig(nv=32, ns=12, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg)
+        g = cfg.velocity_grid
+        f = bz.maxwellian(g.r_squared())
+        q = np.asarray(coll(f, pre))
+        assert np.abs(q).max() < 5e-5
+
+
+class TestDeterminism:
+    def test_bitwise_reproducible(self):
+        # The deterministic einsum reduction makes repeated evals bit-identical
+        # — the property the reference's atomics break (SURVEY.md section 5).
+        cfg = bz.CollisionConfig(nv=16, ns=12, impl="rfft", node_chunk=24)
+        coll, pre = bz.make_collision_operator(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        q1 = np.asarray(coll(f, pre))
+        q2 = np.asarray(coll(f, pre))
+        assert np.array_equal(q1, q2)
+
+
+class TestDtypes:
+    def test_float32_accuracy(self):
+        # f32 path: roundoff ~1e-7 relative, far below the 16^3 method error.
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="rfft", dtype="float32")
+        coll, pre = bz.make_collision_operator(cfg)
+        g, f, q_exact = _bkw_setup(cfg)
+        q = np.asarray(coll(f.astype(np.float32), pre))
+        assert q.dtype == np.float32
+        err = bz.error_norms(q, q_exact, g.dv)
+        assert err["Linf"] < 7e-4
+
+    def test_jit_and_grad_compatible(self):
+        # The operator is a pure function: vmap and jit compose.
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        _, f, _ = _bkw_setup(cfg)
+        f = jnp.asarray(f)
+        batch = jnp.stack([f, 0.5 * f])
+        q_batch = jax.jit(jax.vmap(lambda x: coll(x, pre)))(batch)
+        assert q_batch.shape == (2, 8, 8, 8)
+        q0 = coll(f, pre)
+        np.testing.assert_allclose(
+            np.asarray(q_batch[0]), np.asarray(q0), atol=1e-12 * float(jnp.abs(q0).max())
+        )
+        # Q(af, af) = a^2 Q(f, f) — bilinearity of the collision operator.
+        np.testing.assert_allclose(
+            np.asarray(q_batch[1]), 0.25 * np.asarray(q0),
+            atol=1e-12 * float(jnp.abs(q0).max()),
+        )
