@@ -1,0 +1,73 @@
+"""Headline benchmark: collision-operator evaluations/second on TPU.
+
+Config matches the reference's flagship run (``maxwell_bkw_fftw_ex --Nv 32
+--Ns 12``); baseline is the reference's best checked-in number — 1.9085e-02 s
+per eval on a 128-thread Perlmutter CPU node
+(``Results/maxwell_bkw_fftw_atomics.txt:167``) = 52.40 evals/s.
+
+Methodology: k collision evals chained as an Euler relaxation inside one jit
+(each step's input depends on the previous step's output), timed around a
+device-to-host read of the result.  This measures sustained device throughput
+— per-call dispatch through the remote-TPU tunnel costs ~30 ms and
+``block_until_ready`` does not synchronize it, so naive per-call timing is
+meaningless here.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import boltzfft as bz
+
+BASELINE_EVALS_PER_S = 1.0 / 1.9085e-02  # reference, Nv=32 Ns=12, 128-thread CPU
+
+
+def measure(cfg: bz.CollisionConfig, k: int = 32, trials: int = 3) -> float:
+    """Best-of-``trials`` seconds per collision eval, k-chained."""
+    pre = bz.build_precomp(cfg)
+    f0 = jnp.asarray(
+        np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)), cfg.real_dtype
+    )
+
+    @partial(jax.jit, static_argnums=2)
+    def chain(f, p, steps):
+        body = lambda i, x: x + 1e-3 * bz.collide(cfg, p, x)
+        return jax.lax.fori_loop(0, steps, body, f)
+
+    out = chain(f0, pre, k)
+    float(jnp.sum(out))  # warm: compile + first run, synced via D2H
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = chain(f0, pre, k)
+        float(jnp.sum(out))  # D2H read = real synchronization
+        best = min(best, time.perf_counter() - t0)
+    return best / k
+
+
+def main():
+    cfg = bz.CollisionConfig(nv=32, ns=12, impl="rfft", dtype="float32")
+    sec_per_eval = measure(cfg)
+    evals_per_s = 1.0 / sec_per_eval
+    print(
+        json.dumps(
+            {
+                "metric": "collision_evals_per_sec_nv32_ns12_f32",
+                "value": round(evals_per_s, 2),
+                "unit": "evals/s",
+                "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,13 +19,40 @@ from .quadrature import (
     gauss_legendre,
     spherical_design,
 )
+from .sharding import (
+    ENSEMBLE_AXIS,
+    NODE_AXIS,
+    make_mesh,
+    make_sharded_collision_operator,
+    place,
+)
 from .stats import RunStats, error_norms, time_fn
-from .weights import CollisionConfig, Precomp, build_precomp, sincc
+from .timestepper import (
+    Trajectory,
+    euler_step,
+    make_relaxation,
+    relax,
+    rk2_step,
+    rk4_step,
+)
+from .weights import CollisionConfig, Precomp, build_precomp, repad_nodes, sincc
 
 __version__ = "0.1.0"
 
 __all__ = [
     "CollisionConfig",
+    "ENSEMBLE_AXIS",
+    "NODE_AXIS",
+    "Trajectory",
+    "euler_step",
+    "make_mesh",
+    "make_relaxation",
+    "make_sharded_collision_operator",
+    "place",
+    "relax",
+    "repad_nodes",
+    "rk2_step",
+    "rk4_step",
     "Precomp",
     "Quadrature1D",
     "RunStats",

@@ -101,8 +101,17 @@ def _gain_chunk(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
 
 
 def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
-    """Full gain spectrum Q_gain_hat, chunked over the node batch via scan."""
-    c, n_chunks = cfg.chunk, cfg.n_chunks
+    """Full gain spectrum Q_gain_hat, chunked over the node batch via scan.
+
+    Chunking is derived from the *shape* of the node arrays in ``pre`` (not
+    from ``cfg.n_nodes``) so the same code runs on a device-local shard of the
+    node axis inside ``shard_map``.
+    """
+    b = pre.rho.shape[0]
+    c = min(cfg.chunk, b)
+    if b % c != 0:  # caller supplied unpadded nodes; fall back to one chunk
+        c = b
+    n_chunks = b // c
     if n_chunks == 1:
         return _gain_chunk(cfg, pre, f_hat, pre.rho, pre.sigma, pre.gain_w)
 
@@ -114,12 +123,21 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
         r, s, w = chunk
         return acc + _gain_chunk(cfg, pre, f_hat, r, s, w), None
 
-    init = jnp.zeros(pre.norm_l.shape, dtype=f_hat.dtype)
-    acc, _ = jax.lax.scan(body, init, (rho, sigma, gain_w))
+    # Seed the carry with chunk 0 (not zeros) so its shard_map varying-axis
+    # type matches the chunk results when the node axis is device-sharded.
+    init = _gain_chunk(cfg, pre, f_hat, rho[0], sigma[0], gain_w[0])
+    acc, _ = jax.lax.scan(
+        body, init, (rho[1:], sigma[1:], gain_w[1:])
+    )
     return acc
 
 
-def collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray) -> jnp.ndarray:
+def collide(
+    cfg: CollisionConfig,
+    pre: Precomp,
+    f: jnp.ndarray,
+    gain_reduce: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+) -> jnp.ndarray:
     """Evaluate Q(f, f) on the velocity grid.  Pure and jittable.
 
     Pipeline (reference: ``FFTWBoltzmannOperator.cpp:147-334``, normalization
@@ -132,12 +150,18 @@ def collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray) -> jnp.ndarray:
          not atomics)
       4. ``Q_loss = Re IFFT(beta2 f_hat) * f``
       5. ``Q = Q_gain - Q_loss``
+
+    ``gain_reduce`` is an optional hook applied to the gain spectrum before the
+    final inverse transform — the sharded operator passes ``psum`` over the
+    node-axis mesh dimension here (see ``boltzfft.sharding``).
     """
     f = f.astype(cfg.real_dtype)
     n = cfg.nv
     if cfg.impl == "rfft":
         f_hat = jnp.fft.rfftn(f, axes=_FFT_AXES)
         q_gain_hat = gain_spectrum(cfg, pre, f_hat)
+        if gain_reduce is not None:
+            q_gain_hat = gain_reduce(q_gain_hat)
         q_gain = jnp.fft.irfftn(q_gain_hat, s=(n, n, n), axes=_FFT_AXES)
         loss_conv = jnp.fft.irfftn(
             pre.beta2.astype(f_hat.dtype) * f_hat, s=(n, n, n), axes=_FFT_AXES
@@ -145,6 +169,8 @@ def collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray) -> jnp.ndarray:
     else:
         f_hat = jnp.fft.fftn(f.astype(cfg.complex_dtype), axes=_FFT_AXES)
         q_gain_hat = gain_spectrum(cfg, pre, f_hat)
+        if gain_reduce is not None:
+            q_gain_hat = gain_reduce(q_gain_hat)
         q_gain = jnp.fft.ifftn(q_gain_hat, axes=_FFT_AXES).real
         loss_conv = jnp.fft.ifftn(
             pre.beta2.astype(f_hat.dtype) * f_hat, axes=_FFT_AXES

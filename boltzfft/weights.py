@@ -191,3 +191,26 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
         norm_l=jnp.asarray(norm_l, rd),
         beta2=jnp.asarray(beta2, rd),
     )
+
+
+def repad_nodes(pre: Precomp, target_b: int) -> Precomp:
+    """Grow the padded node axis of a ``Precomp`` to ``target_b`` entries.
+
+    Extra entries carry ``gain_w == 0`` (and a harmless unit node), so they
+    change nothing numerically — used to make the node axis divide evenly
+    across mesh devices and scan chunks.
+    """
+    b = pre.rho.shape[0]
+    if target_b < b:
+        raise ValueError(f"target_b={target_b} < current node count {b}")
+    if target_b == b:
+        return pre
+    pad = target_b - b
+    dt = pre.rho.dtype
+    return pre._replace(
+        rho=jnp.concatenate([pre.rho, jnp.ones((pad,), dt)]),
+        sigma=jnp.concatenate(
+            [pre.sigma, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dt), (pad, 1))]
+        ),
+        gain_w=jnp.concatenate([pre.gain_w, jnp.zeros((pad,), dt)]),
+    )
