@@ -1,0 +1,50 @@
+"""Command-line drivers (the reference's L4 layer, argparse instead of TCLAP).
+
+Run as modules, e.g.:
+
+    python -m boltzfft.cli.maxwell_bkw --Nv 32 --Ns 12 --trials 10
+    python -m boltzfft.cli.fft_benchmark --Nv 32 --Ns 12
+    python -m boltzfft.cli.loop_benchmark --Nv 32 --Ns 12
+    python -m boltzfft.cli.ensemble_bkw --ensemble 256 --steps 10
+
+Flags mirror the reference drivers (``maxwell_bkw_fftw.cpp:29-44``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def standard_parser(description: str) -> argparse.ArgumentParser:
+    """Shared flags: --Nv, --Ns, -t/--trials (+ dtype/impl, TPU-era additions)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--Nv", type=int, default=32, help="velocity grid points per axis")
+    p.add_argument("--Ns", type=int, default=12, help="spherical design size")
+    p.add_argument("-t", "--trials", type=int, default=1, help="timing trials")
+    p.add_argument(
+        "--dtype", choices=["float32", "float64"], default=None,
+        help="compute dtype (default: float64 if the backend supports it)",
+    )
+    p.add_argument(
+        "--impl", choices=["rfft", "c2c"], default="rfft",
+        help="transform pipeline: real-optimized (default) or reference-faithful c2c",
+    )
+    p.add_argument(
+        "--node-chunk", type=int, default=None,
+        help="quadrature nodes per scan chunk (memory/speed tradeoff)",
+    )
+    return p
+
+
+def default_dtype() -> str:
+    """float64 when the active backend supports it, else float32."""
+    import jax
+    import jax.numpy as jnp
+
+    if not jax.config.jax_enable_x64:
+        return "float32"
+    try:
+        jnp.zeros((), jnp.float64)
+        return "float64"
+    except Exception:
+        return "float32"

@@ -1,0 +1,68 @@
+"""CLI drivers: output-format parity and end-to-end runs (CPU backend)."""
+
+import numpy as np
+import pytest
+
+
+def _run(mod_main, argv):
+    return mod_main(argv)
+
+
+class TestMaxwellBKW:
+    def test_runs_and_reports(self, capsys):
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "16", "--Ns", "6", "--trials", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "Run arguments:" in out
+        assert "Nv = 16" in out
+        assert "Statistics for" in out
+        assert "Linf error:" in out
+        # accuracy at 16^3 (calibrated)
+        linf = float(out.split("Linf error:")[1].split()[0])
+        assert linf < 6e-4
+
+    def test_c2c_impl(self, capsys):
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "8", "--Ns", "6", "--impl", "c2c"]) == 0
+        assert "impl = c2c" in capsys.readouterr().out
+
+
+class TestFFTBenchmark:
+    def test_runs(self, capsys):
+        from boltzfft.cli.fft_benchmark import main
+
+        assert main(["--Nv", "8", "--Ns", "6", "--chain", "2", "-t", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "Fastest:" in out
+        # round-trip errors at machine precision
+        for line in out.splitlines():
+            if "L1 err" in line:
+                assert float(line.split("L1 err")[1]) < 1e-12
+
+
+class TestLoopBenchmark:
+    def test_runs(self, capsys):
+        from boltzfft.cli.loop_benchmark import main
+
+        assert main(["--Nv", "8", "--Ns", "6", "--chain", "2", "-t", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "pattern1" in out and "pattern2" in out
+
+
+class TestEnsembleBKW:
+    def test_runs(self, capsys):
+        from boltzfft.cli.ensemble_bkw import main
+
+        assert main(
+            ["--Nv", "8", "--Ns", "6", "--ensemble", "8", "--steps", "2"]
+        ) == 0
+        out = capsys.readouterr().out
+        assert "final mass range" in out
+
+    def test_bad_ensemble_split(self):
+        from boltzfft.cli.ensemble_bkw import main
+
+        with pytest.raises(SystemExit):
+            main(["--Nv", "8", "--Ns", "6", "--ensemble", "3", "--ens-mesh", "2"])
