@@ -74,11 +74,77 @@ def _beta1(cfg: CollisionConfig, pre: Precomp, rho):
     return (4.0 * np.pi * cfg.b_gamma) * (jnp.sin(arg + eps) / (arg + eps))
 
 
+def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
+    """MXU path: per-node inverse transforms as batched matmuls with the
+    separable alpha phases folded into the per-axis transform matrices.
+
+    ``g1_b = IFFT(alpha1_b . f_hat)`` factorizes as three per-axis contractions
+    with matrices ``A_b = Vinv . diag(a_axis[b])`` — the alpha multiply costs
+    zero extra memory passes and every FLOP of the transform runs on the MXU.
+    This is the TPU-native completion of the reference's unfinished
+    tensor-contraction direction (``CUDABoltzmannOperator.cu:180-188``).
+    """
+    ax, ay, az = _alpha_factors(cfg, pre, rho, sigma)
+    rd = cfg.real_dtype
+
+    # All contractions are expressed as real-valued einsums over separate
+    # (re, im) planes: complex dot_general is not implemented on all TPU
+    # runtimes, and explicit real matmuls map straight onto the MXU.
+    vr, vi = jnp.real(pre.dft_inv), jnp.imag(pre.dft_inv)
+    fr, fi = jnp.real(pre.dft_fwd), jnp.imag(pre.dft_fwd)
+
+    def cmatmul(spec_str, mr, mi, tr, ti):
+        """Complex contraction (mr + i mi) . (tr + i ti) via 4 real einsums."""
+        pe = rd
+        out_r = jnp.einsum(spec_str, mr, tr, preferred_element_type=pe) - jnp.einsum(
+            spec_str, mi, ti, preferred_element_type=pe
+        )
+        out_i = jnp.einsum(spec_str, mr, ti, preferred_element_type=pe) + jnp.einsum(
+            spec_str, mi, tr, preferred_element_type=pe
+        )
+        return out_r, out_i
+
+    def node_mats(a, conj):
+        # per-node inverse-transform matrix Vinv . diag(a) (or diag(conj a)),
+        # split into (C, N_pos, N_mode) re/im planes
+        ar, ai = jnp.real(a), jnp.imag(a)
+        if conj:
+            ai = -ai
+        mr = vr[None] * ar[:, None, :] - vi[None] * ai[:, None, :]
+        mi = vr[None] * ai[:, None, :] + vi[None] * ar[:, None, :]
+        return mr, mi
+
+    def inv3(conj, sr, si):
+        # x-axis op consumes the shared (unbatched) f_hat; y/z are per-node
+        sr, si = cmatmul("bxm,mjk->bxjk", *node_mats(ax, conj), sr, si)
+        sr, si = cmatmul("byn,bxnk->bxyk", *node_mats(ay, conj), sr, si)
+        return cmatmul("bzp,bxyp->bxyz", *node_mats(az, conj), sr, si)
+
+    f_r, f_i = jnp.real(f_hat).astype(rd), jnp.imag(f_hat).astype(rd)
+    g1r, g1i = inv3(False, f_r, f_i)
+    g2r, g2i = inv3(True, f_r, f_i)
+    hr = g1r * g2r - g1i * g2i
+    hi = g1r * g2i + g1i * g2r
+
+    # shared forward transform (modes <- positions), matrices common to all nodes
+    for spec in ("mx,bxjk->bmjk", "ny,bmyk->bmnk", "pz,bmnz->bmnp"):
+        hr, hi = cmatmul(spec, fr, fi, hr, hi)
+
+    w = gain_w[:, None, None, None] * _beta1(cfg, pre, rho)
+    qr = jnp.sum(w * hr, axis=0)
+    qi = jnp.sum(w * hi, axis=0)
+    return (qr + 1j * qi).astype(cfg.complex_dtype)
+
+
 def _gain_chunk(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
     """Partial gain spectrum for one chunk of quadrature nodes.
 
     Returns sum_b gain_w[b] * beta1[b, l] * FFT(g1_b * g2_b)[l] for the chunk.
     """
+    if cfg.impl == "dft":
+        return _gain_chunk_dft(cfg, pre, f_hat, rho, sigma, gain_w)
+    if cfg.impl == "rfft" and cfg.use_pallas:
+        return _gain_chunk_pallas(cfg, pre, f_hat, rho, sigma, gain_w)
     ax, ay, az = _alpha_factors(cfg, pre, rho, sigma)
     # alpha1 * f_hat via broadcasted outer product (XLA fuses the broadcasts;
     # only the (C, modes) FFT input is materialized).
@@ -98,6 +164,38 @@ def _gain_chunk(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
 
     w = gain_w[:, None, None, None] * _beta1(cfg, pre, rho)
     return jnp.sum(w.astype(h_hat.dtype) * h_hat, axis=0)
+
+
+def _gain_chunk_pallas(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
+    """rfft chunk with the two non-FFT stages as fused Pallas kernels
+    (``boltzfft.pallas_kernels``); FFTs stay on the XLA TPU FFT."""
+    from . import pallas_kernels as pk
+
+    n = cfg.nv
+    nh = pre.lz.shape[0]
+    m2 = n * nh
+    ax, ay, az = _alpha_factors(cfg, pre, rho, sigma)
+    ayz = ay[:, :, None] * az[:, None, :]  # (C, N, Nh) combined y/z factors
+
+    a1r, a1i, a2r, a2i = pk.alpha_multiply(
+        jnp.real(ax), jnp.imag(ax),
+        jnp.real(ayz).reshape(-1, m2), jnp.imag(ayz).reshape(-1, m2),
+        jnp.real(f_hat).reshape(n, m2), jnp.imag(f_hat).reshape(n, m2),
+    )
+    shape4 = (-1, n, n, nh)
+    a1f = (a1r + 1j * a1i).reshape(shape4)
+    a2f = (a2r + 1j * a2i).reshape(shape4)
+    g1 = jnp.fft.irfftn(a1f, s=(n, n, n), axes=_FFT_AXES)
+    g2 = jnp.fft.irfftn(a2f, s=(n, n, n), axes=_FFT_AXES)
+    h_hat = jnp.fft.rfftn(g1 * g2, axes=_FFT_AXES)
+
+    q_r, q_i = pk.gain_reduce(
+        jnp.real(h_hat).reshape(rho.shape[0], -1),
+        jnp.imag(h_hat).reshape(rho.shape[0], -1),
+        rho, gain_w, pre.norm_l.reshape(-1),
+        length=cfg.domain_length, b_gamma=cfg.b_gamma,
+    )
+    return (q_r + 1j * q_i).reshape(n, n, nh).astype(cfg.complex_dtype)
 
 
 def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
@@ -166,7 +264,7 @@ def collide(
         loss_conv = jnp.fft.irfftn(
             pre.beta2.astype(f_hat.dtype) * f_hat, s=(n, n, n), axes=_FFT_AXES
         )
-    else:
+    else:  # "c2c" and "dft": full complex spectrum pipeline
         f_hat = jnp.fft.fftn(f.astype(cfg.complex_dtype), axes=_FFT_AXES)
         q_gain_hat = gain_spectrum(cfg, pre, f_hat)
         if gain_reduce is not None:

@@ -1,0 +1,181 @@
+"""Fused Pallas TPU kernels for the non-FFT hot stages.
+
+The TPU-native analog of the reference's CUDA kernel layer
+(``Collisions/BoltzmannCUDAKernels.cu``) and of its loop-scheduling study
+(``loop_benchmark_cpu.cpp``).  Two kernels cover the two hot patterns:
+
+* ``alpha_multiply``: per-node phase multiply producing *both* ``alpha1*f_hat``
+  and ``conj(alpha1)*f_hat`` in one pass, with alpha built in-register from the
+  separable per-axis factors — the fused equivalent of
+  ``compute_alpha_times_f_hat`` (``BoltzmannCUDAKernels.cu:21-59``), which also
+  computes alpha on the fly but re-reads f_hat per node from HBM.
+* ``gain_reduce``: the weighted node reduction
+  ``Q_hat(l) += w_b * beta1(rho_b, |l|) * h_hat(b, l)`` with ``beta1`` computed
+  in-register — a deterministic single-writer accumulation replacing the
+  reference's ``atomic_tensor_contraction`` (``BoltzmannCUDAKernels.cu:79-123``).
+
+Complex arrays travel as separate (re, im) float planes: Pallas TPU has no
+complex dtype support.  Kernels run compiled on TPU and in interpreter mode on
+CPU (selected automatically), so the same code path is testable without
+hardware.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------
+# gain_reduce: out[l] = sum_b gw[b] * beta1(rho[b], |l|) * h[b, l]
+# --------------------------------------------------------------------------
+
+
+def _gain_reduce_kernel(
+    rho_ref, gw_ref, nl_ref, hr_ref, hi_ref, or_ref, oi_ref, *, coef, amp, eps
+):
+    j = pl.program_id(1)  # node-chunk position (innermost, sequential on TPU)
+
+    @pl.when(j == 0)
+    def _():
+        or_ref[:] = jnp.zeros_like(or_ref)
+        oi_ref[:] = jnp.zeros_like(oi_ref)
+
+    nl = nl_ref[:]  # (TR, 128) mode-norm tile
+    acc_r = jnp.zeros_like(nl)
+    acc_i = jnp.zeros_like(nl)
+    for b in range(rho_ref.shape[0]):  # static unrolled loop over the node chunk
+        arg = (coef * rho_ref[b]) * nl + eps
+        w = (amp * gw_ref[b]) * jnp.sin(arg) / arg
+        acc_r = acc_r + w * hr_ref[b]
+        acc_i = acc_i + w * hi_ref[b]
+    or_ref[:] = or_ref[:] + acc_r
+    oi_ref[:] = oi_ref[:] + acc_i
+
+
+def gain_reduce(
+    h_r: jnp.ndarray,  # (B, M) real part of h_hat, M flattened modes
+    h_i: jnp.ndarray,
+    rho: jnp.ndarray,  # (B,)
+    gain_w: jnp.ndarray,  # (B,)
+    norm_l: jnp.ndarray,  # (M,)
+    *,
+    length: float,
+    b_gamma: float,
+    node_block: int = 8,
+    row_block: int = 8,
+):
+    """Fused weighted gain reduction over the node axis.
+
+    Computes ``out = sum_b gain_w[b] * beta1(rho[b], norm_l) * h[b]`` with
+    ``beta1 = 4 pi b_gamma sincc(pi rho |l| / (2L))`` evaluated in-register
+    (one read of h, no materialized (B, M) weight array).
+    """
+    b, m = h_r.shape
+    dt = h_r.dtype
+    lanes = 128
+    if m % lanes:
+        pad = lanes - m % lanes
+        h_r = jnp.pad(h_r, ((0, 0), (0, pad)))
+        h_i = jnp.pad(h_i, ((0, 0), (0, pad)))
+        norm_l = jnp.pad(norm_l, (0, pad), constant_values=1.0)
+        m += pad
+    rows = m // lanes
+    rb = math.gcd(row_block, rows)
+    nb = math.gcd(node_block, b)
+
+    hr3 = h_r.reshape(b, rows, lanes)
+    hi3 = h_i.reshape(b, rows, lanes)
+    nl2 = norm_l.reshape(rows, lanes)
+
+    eps = float(np.finfo(dt).eps)
+    kernel = partial(
+        _gain_reduce_kernel,
+        coef=math.pi / (2.0 * length),
+        amp=4.0 * math.pi * b_gamma,
+        eps=eps,
+    )
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(rows // rb, b // nb),
+        in_specs=[
+            pl.BlockSpec((nb,), lambda i, j: (j,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb,), lambda i, j: (j,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, rb, lanes), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, rb, lanes), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, lanes), dt),
+            jax.ShapeDtypeStruct((rows, lanes), dt),
+        ],
+        interpret=_interpret(),
+    )(rho.astype(dt), gain_w.astype(dt), nl2.astype(dt), hr3, hi3)
+    return out_r.reshape(-1)[: norm_l.size], out_i.reshape(-1)[: norm_l.size]
+
+
+# --------------------------------------------------------------------------
+# alpha_multiply: a1f[b,l] = alpha1(b,l) f_hat[l], a2f[b,l] = conj(alpha1) f_hat[l]
+# --------------------------------------------------------------------------
+
+
+def _alpha_multiply_kernel(
+    axr_ref, axi_ref, ayzr_ref, ayzi_ref, fr_ref, fi_ref,
+    o1r_ref, o1i_ref, o2r_ref, o2i_ref,
+):
+    # m = ayz * f_hat  (flattened (jk) modes), shared across the i axis
+    mr = ayzr_ref[:] * fr_ref[:] - ayzi_ref[:] * fi_ref[:]
+    mi = ayzr_ref[:] * fi_ref[:] + ayzi_ref[:] * fr_ref[:]
+    # m2 = conj(ayz) * f_hat
+    m2r = ayzr_ref[:] * fr_ref[:] + ayzi_ref[:] * fi_ref[:]
+    m2i = ayzr_ref[:] * fi_ref[:] - ayzi_ref[:] * fr_ref[:]
+    axr = axr_ref[:].reshape(-1, 1)  # (N, 1) column of per-i phases
+    axi = axi_ref[:].reshape(-1, 1)
+    o1r_ref[0] = axr * mr - axi * mi
+    o1i_ref[0] = axr * mi + axi * mr
+    o2r_ref[0] = axr * m2r + axi * m2i
+    o2i_ref[0] = axr * m2i - axi * m2r
+
+
+def alpha_multiply(
+    ax_r, ax_i,  # (B, N) separable x-axis phase factors
+    ayz_r, ayz_i,  # (B, M2) combined y/z factors, M2 = N * n_z_modes
+    f_r, f_i,  # (N, M2) flattened f_hat
+):
+    """Per-node phase multiply: one f_hat read produces both alpha1*f_hat and
+    conj(alpha1)*f_hat, alpha assembled in-register from separable factors."""
+    b, n = ax_r.shape
+    m2 = f_r.shape[1]
+    dt = f_r.dtype
+    out = pl.pallas_call(
+        _alpha_multiply_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, m2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, n, m2), dt)] * 4,
+        interpret=_interpret(),
+    )(ax_r, ax_i, ayz_r, ayz_i, f_r, f_i)
+    return out  # (a1f_r, a1f_i, a2f_r, a2f_i)

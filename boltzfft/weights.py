@@ -51,12 +51,19 @@ class CollisionConfig:
     radial_radius: Optional[float] = None  # R; default 2*S
     length: Optional[float] = None  # L; default ((3+sqrt 2)/2)*S
     dtype: str = "float64"  # "float32" | "float64"
-    impl: str = "rfft"  # "rfft" (fast, real transforms) | "c2c" (reference-faithful)
+    # impl: "rfft" — real half-spectrum transforms (fast, bandwidth-optimal);
+    #       "c2c"  — reference-faithful complex transforms;
+    #       "dft"  — matmul-form DFT on the MXU with the per-node alpha phases
+    #                folded into the per-axis transform matrices (TPU-fastest).
+    impl: str = "rfft"
     node_chunk: Optional[int] = None  # nodes per scan step; None = whole batch
+    use_pallas: bool = False  # fuse alpha-multiply + gain-reduce via Pallas (rfft only)
 
     def __post_init__(self):
-        if self.impl not in ("rfft", "c2c"):
-            raise ValueError(f"impl must be 'rfft' or 'c2c', got {self.impl!r}")
+        if self.impl not in ("rfft", "c2c", "dft"):
+            raise ValueError(f"impl must be 'rfft', 'c2c' or 'dft', got {self.impl!r}")
+        if self.use_pallas and self.impl != "rfft":
+            raise ValueError("use_pallas requires impl='rfft'")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be float32/float64, got {self.dtype!r}")
         if self.nv % 2 != 0:
@@ -128,9 +135,11 @@ class Precomp(NamedTuple):
     gain_w: jnp.ndarray  # (Bp,)   w_gl * w_sph * rho^(gamma+2)
     lx: jnp.ndarray  # (N,)    FFT-order modes, axis 0
     ly: jnp.ndarray  # (N,)
-    lz: jnp.ndarray  # (N,) for c2c | (N/2+1,) for rfft (Nyquist -> -N/2)
+    lz: jnp.ndarray  # (N,) for c2c/dft | (N/2+1,) for rfft (Nyquist -> -N/2)
     norm_l: jnp.ndarray  # |l| on the (possibly half) mode grid
     beta2: jnp.ndarray  # loss multiplier on the (possibly half) mode grid
+    dft_fwd: Optional[jnp.ndarray] = None  # (N, N) forward DFT matrix (impl="dft")
+    dft_inv: Optional[jnp.ndarray] = None  # (N, N) normalized inverse DFT matrix
 
 
 def sincc(x: np.ndarray | jnp.ndarray, eps: float):
@@ -171,6 +180,16 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
     lz = _modes.rfft_modes(n) if cfg.impl == "rfft" else lx
     norm_l = _modes.mode_norm_grid(lx, ly, lz)
 
+    # Matmul-form DFT matrices (impl="dft"): F[m, x] = exp(-2 pi i m x / N),
+    # Vinv[x, m] = exp(+2 pi i m x / N) / N — the inverse carries jnp's 1/N
+    # normalization per axis so the overall scaling matches fftn/ifftn.
+    dft_fwd = dft_inv = None
+    if cfg.impl == "dft":
+        mx = np.arange(n)
+        ph = 2.0 * np.pi * np.outer(mx, mx) / n
+        dft_fwd = np.exp(-1j * ph)
+        dft_inv = np.exp(1j * ph) / n
+
     # Loss-term multiplier beta2(l) = sum_r 16 pi^2 b_gamma w_r rho_r^(gamma+2)
     #   * sincc(pi rho_r |l| / L)   (FFTWBoltzmannOperator.cpp:287-293).
     eps64 = float(np.finfo(np.float64).eps)
@@ -190,6 +209,8 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
         lz=jnp.asarray(lz, rd),
         norm_l=jnp.asarray(norm_l, rd),
         beta2=jnp.asarray(beta2, rd),
+        dft_fwd=None if dft_fwd is None else jnp.asarray(dft_fwd, cfg.complex_dtype),
+        dft_inv=None if dft_inv is None else jnp.asarray(dft_inv, cfg.complex_dtype),
     )
 
 

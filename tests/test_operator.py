@@ -25,7 +25,7 @@ def _bkw_setup(cfg, t=6.5):
 class TestBKWOracle:
     """Computed Q(f_bkw, f_bkw) vs analytic df/dt."""
 
-    @pytest.mark.parametrize("impl", ["rfft", "c2c"])
+    @pytest.mark.parametrize("impl", ["rfft", "c2c", "dft"])
     def test_nv16(self, impl):
         cfg = bz.CollisionConfig(nv=16, ns=6, impl=impl)
         coll, pre = bz.make_collision_operator(cfg)
@@ -47,8 +47,11 @@ class TestBKWOracle:
 
 
 class TestCrossImplementationParity:
-    def test_rfft_matches_c2c(self):
-        cfg_r = bz.CollisionConfig(nv=16, ns=12, impl="rfft")
+    @pytest.mark.parametrize("impl,tol", [("rfft", 1e-13), ("dft", 1e-12)])
+    def test_matches_c2c(self, impl, tol):
+        # rfft agrees up to the (spectrally negligible) Nyquist content of f;
+        # dft is an exact reformulation up to summation order.
+        cfg_r = bz.CollisionConfig(nv=16, ns=12, impl=impl)
         cfg_c = bz.CollisionConfig(nv=16, ns=12, impl="c2c")
         coll_r, pre_r = bz.make_collision_operator(cfg_r)
         coll_c, pre_c = bz.make_collision_operator(cfg_c)
@@ -56,7 +59,7 @@ class TestCrossImplementationParity:
         qr = np.asarray(coll_r(f, pre_r))
         qc = np.asarray(coll_c(f, pre_c))
         scale = np.abs(qc).max()
-        np.testing.assert_allclose(qr, qc, atol=1e-13 * scale)
+        np.testing.assert_allclose(qr, qc, atol=tol * scale)
 
     def test_direct_sum_parity(self):
         # Independent node-by-node NumPy implementation as oracle.
@@ -99,10 +102,11 @@ class TestCrossImplementationParity:
 
 class TestChunking:
     @pytest.mark.parametrize("chunk", [1, 5, 12, 36, None])
-    def test_chunked_matches_unchunked(self, chunk):
+    @pytest.mark.parametrize("impl", ["rfft", "dft"])
+    def test_chunked_matches_unchunked(self, chunk, impl):
         # Chunk size (incl. a non-divisor forcing padding) must not change Q.
-        cfg_full = bz.CollisionConfig(nv=16, ns=6, impl="rfft", node_chunk=None)
-        cfg = bz.CollisionConfig(nv=16, ns=6, impl="rfft", node_chunk=chunk)
+        cfg_full = bz.CollisionConfig(nv=16, ns=6, impl=impl, node_chunk=None)
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl=impl, node_chunk=chunk)
         coll_f, pre_f = bz.make_collision_operator(cfg_full)
         coll_c, pre_c = bz.make_collision_operator(cfg)
         _, f, _ = _bkw_setup(cfg)
