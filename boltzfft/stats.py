@@ -28,6 +28,13 @@ class RunStats:
     @classmethod
     def from_times(cls, times: Sequence[float]) -> "RunStats":
         arr = np.asarray(times, dtype=np.float64)
+        try:  # native single-pass Welford accumulation (long double)
+            from boltzfft import _native
+
+            mean, mn, mx, stdev = _native.running_stats(arr)
+            return cls(mean=mean, minimum=mn, maximum=mx, stdev=stdev, n=int(arr.size))
+        except ImportError:
+            pass
         # Sample stdev (ddof=1) like the reference (statistics.hpp:40-50);
         # 0 for a single trial.
         stdev = float(arr.std(ddof=1)) if arr.size > 1 else 0.0
