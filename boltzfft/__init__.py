@@ -26,7 +26,8 @@ from .sharding import (
     make_sharded_collision_operator,
     place,
 )
-from .stats import RunStats, error_norms, time_fn
+from .cache import enable_compilation_cache, load_precomp, save_precomp
+from .stats import RunStats, error_norms, time_fn, trace
 from .timestepper import (
     Trajectory,
     euler_step,
@@ -42,6 +43,10 @@ __version__ = "0.1.0"
 __all__ = [
     "CollisionConfig",
     "ENSEMBLE_AXIS",
+    "enable_compilation_cache",
+    "load_precomp",
+    "save_precomp",
+    "trace",
     "NODE_AXIS",
     "Trajectory",
     "euler_step",

@@ -82,6 +82,29 @@ def time_fn(
     return RunStats.from_times(times), out
 
 
+class trace:
+    """Context manager around ``jax.profiler`` — the observability analog of
+    the reference's wall-clock brackets (``maxwell_bkw_fftw.cpp:114-140``),
+    but producing a full device trace viewable in TensorBoard/Perfetto.
+
+    Usage::
+
+        with bz.trace("/tmp/boltz-trace"):
+            collide(f, pre)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
+
 def error_norms(q: np.ndarray, q_exact: np.ndarray, dv: float) -> dict[str, float]:
     """L1/L2/Linf error norms with the reference's scaling conventions.
 
