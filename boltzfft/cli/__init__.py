@@ -33,7 +33,24 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )
+    # VHS kernel parameters (defaults: Maxwell molecules, maxwell_bkw_fftw.cpp:54-55)
+    p.add_argument("--gamma", type=float, default=0.0,
+                   help="VHS velocity exponent (0=Maxwell, 1=hard spheres)")
+    p.add_argument("--b-gamma", type=float, default=None,
+                   help="VHS kernel coefficient (default 1/(4*pi))")
     return p
+
+
+def vhs_kwargs(args) -> dict:
+    """CollisionConfig kwargs for the VHS kernel flags."""
+    import math
+
+    kw = {"gamma": args.gamma}
+    if args.b_gamma is not None:
+        kw["b_gamma"] = args.b_gamma
+    else:
+        kw["b_gamma"] = 1.0 / (4.0 * math.pi)
+    return kw
 
 
 def default_dtype() -> str:

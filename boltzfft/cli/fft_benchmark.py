@@ -38,8 +38,10 @@ def main(argv=None):
     rd = jnp.float64 if dtype == "float64" else jnp.float32
     cd = jnp.complex128 if dtype == "float64" else jnp.complex64
     g = bz.VelocityGrid(nv=n, length=bz.domain_from_support()[1])
-    f0 = np.broadcast_to(bz.bkw_f(g.r_squared(), 6.5), (batch, n, n, n))
-    x = jnp.asarray(np.ascontiguousarray(f0), rd)
+    # upload one grid (~small), broadcast to the batch on device — whole-batch
+    # host->device uploads are not viable through the remote-TPU tunnel
+    one = jnp.asarray(bz.bkw_f(g.r_squared(), 6.5), rd)
+    x = jax.jit(lambda a: jnp.broadcast_to(a, (batch, n, n, n)) * 1.0)(one)
 
     results = {}
 

@@ -15,9 +15,15 @@ import numpy as np
 
 
 def main(argv=None):
-    from boltzfft.cli import default_dtype, standard_parser
+    from boltzfft.cli import default_dtype, standard_parser, vhs_kwargs
 
-    args = standard_parser(__doc__).parse_args(argv)
+    p = standard_parser(__doc__)
+    p.add_argument("--steps", type=int, default=0,
+                   help="RK4 relaxation steps (0 = single operator eval)")
+    p.add_argument("--dt", type=float, default=0.125, help="RK4 step size")
+    p.add_argument("--t0", type=float, default=5.5,
+                   help="BKW start time for relaxation mode")
+    args = p.parse_args(argv)
 
     import jax.numpy as jnp
 
@@ -30,11 +36,13 @@ def main(argv=None):
     print(f"trials = {args.trials}")
     print(f"dtype = {dtype}, impl = {args.impl}")
 
-    # Maxwell molecules (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
+    # Maxwell molecules by default (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
     cfg = bz.CollisionConfig(
         nv=args.Nv, ns=args.Ns, impl=args.impl, dtype=dtype,
-        node_chunk=args.node_chunk,
+        node_chunk=args.node_chunk, **vhs_kwargs(args),
     )
+    if args.gamma != 0.0:
+        print("note: BKW error report is only meaningful for Maxwell molecules (gamma=0)")
     g = cfg.velocity_grid
     rsq = g.r_squared()
     f_bkw = np.asarray(bz.bkw_f(rsq, 6.5))
@@ -42,6 +50,31 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     collide, pre = bz.make_collision_operator(cfg)
+
+    if args.steps > 0:
+        # RK4 relaxation: integrate f_bkw(t0) forward and compare with the
+        # analytic BKW solution at t0 + steps*dt, with on-device moments.
+        t_end = args.t0 + args.steps * args.dt
+        f0 = jnp.asarray(np.asarray(bz.bkw_f(rsq, args.t0)), cfg.real_dtype)
+        v = jnp.asarray(g.v, cfg.real_dtype)
+        run = bz.make_relaxation(
+            collide, pre, dt=args.dt, n_steps=args.steps, method="rk4",
+            record=lambda x: bz.moments(x, v, g.dv),
+        )
+        traj = run(f0)
+        mass = np.asarray(traj.recorded.mass)
+        print(f"Relaxation: {args.steps} RK4 steps of dt={args.dt} "
+              f"(t {args.t0} -> {t_end}), compile+run {time.perf_counter()-t0:.3g}s")
+        print(f"mass drift: {abs(mass - mass[0]).max():.3e}, "
+              f"energy drift: {abs(np.asarray(traj.recorded.energy) - np.asarray(traj.recorded.energy)[0]).max():.3e}")
+        f_exact = bz.bkw_f(rsq, t_end)
+        err = bz.error_norms(np.asarray(traj.f), f_exact, g.dv)
+        print("Relaxation errors vs analytic BKW f(t_end):")
+        print(f"L1 error: {err['L1']:.6g}")
+        print(f"L2 error: {err['L2']:.6g}")
+        print(f"Linf error: {err['Linf']:.6g}\n")
+        return 0
+
     f_dev = jnp.asarray(f_bkw, cfg.real_dtype)
     q = np.asarray(collide(f_dev, pre))  # compile + first eval
     init_time = time.perf_counter() - t0

@@ -90,8 +90,8 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
     # All contractions are expressed as real-valued einsums over separate
     # (re, im) planes: complex dot_general is not implemented on all TPU
     # runtimes, and explicit real matmuls map straight onto the MXU.
-    vr, vi = jnp.real(pre.dft_inv), jnp.imag(pre.dft_inv)
-    fr, fi = jnp.real(pre.dft_fwd), jnp.imag(pre.dft_fwd)
+    vr, vi = pre.dft_inv[0], pre.dft_inv[1]
+    fr, fi = pre.dft_fwd[0], pre.dft_fwd[1]
 
     def cmatmul(spec_str, mr, mi, tr, ti):
         """Complex contraction (mr + i mi) . (tr + i ti) via 4 real einsums."""

@@ -138,8 +138,11 @@ class Precomp(NamedTuple):
     lz: jnp.ndarray  # (N,) for c2c/dft | (N/2+1,) for rfft (Nyquist -> -N/2)
     norm_l: jnp.ndarray  # |l| on the (possibly half) mode grid
     beta2: jnp.ndarray  # loss multiplier on the (possibly half) mode grid
-    dft_fwd: Optional[jnp.ndarray] = None  # (N, N) forward DFT matrix (impl="dft")
-    dft_inv: Optional[jnp.ndarray] = None  # (N, N) normalized inverse DFT matrix
+    # DFT matrices for impl="dft", stored as stacked real planes [re, im] of
+    # shape (2, N, N): complex leaves would be transferred host->device, and
+    # complex transfers are not supported on all TPU runtimes.
+    dft_fwd: Optional[jnp.ndarray] = None  # (2, N, N) forward DFT matrix
+    dft_inv: Optional[jnp.ndarray] = None  # (2, N, N) normalized inverse DFT
 
 
 def sincc(x: np.ndarray | jnp.ndarray, eps: float):
@@ -187,8 +190,8 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
     if cfg.impl == "dft":
         mx = np.arange(n)
         ph = 2.0 * np.pi * np.outer(mx, mx) / n
-        dft_fwd = np.exp(-1j * ph)
-        dft_inv = np.exp(1j * ph) / n
+        dft_fwd = np.stack([np.cos(ph), -np.sin(ph)])  # exp(-i ph)
+        dft_inv = np.stack([np.cos(ph) / n, np.sin(ph) / n])  # exp(+i ph)/N
 
     # Loss-term multiplier beta2(l) = sum_r 16 pi^2 b_gamma w_r rho_r^(gamma+2)
     #   * sincc(pi rho_r |l| / L)   (FFTWBoltzmannOperator.cpp:287-293).
@@ -209,8 +212,8 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
         lz=jnp.asarray(lz, rd),
         norm_l=jnp.asarray(norm_l, rd),
         beta2=jnp.asarray(beta2, rd),
-        dft_fwd=None if dft_fwd is None else jnp.asarray(dft_fwd, cfg.complex_dtype),
-        dft_inv=None if dft_inv is None else jnp.asarray(dft_inv, cfg.complex_dtype),
+        dft_fwd=None if dft_fwd is None else jnp.asarray(dft_fwd, rd),
+        dft_inv=None if dft_inv is None else jnp.asarray(dft_inv, rd),
     )
 
 

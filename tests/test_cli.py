@@ -22,6 +22,22 @@ class TestMaxwellBKW:
         linf = float(out.split("Linf error:")[1].split()[0])
         assert linf < 6e-4
 
+    def test_relaxation_mode(self, capsys):
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "16", "--Ns", "6", "--steps", "2", "--dt", "0.25"]) == 0
+        out = capsys.readouterr().out
+        assert "Relaxation: 2 RK4 steps" in out
+        assert "mass drift" in out
+        linf = float(out.split("Linf error:")[1].split()[0])
+        assert linf < 1e-3
+
+    def test_hard_sphere_kernel(self, capsys):
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "8", "--Ns", "6", "--gamma", "1.0"]) == 0
+        assert "only meaningful for Maxwell" in capsys.readouterr().out
+
     def test_c2c_impl(self, capsys):
         from boltzfft.cli.maxwell_bkw import main
 
