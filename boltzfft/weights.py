@@ -98,8 +98,23 @@ class CollisionConfig:
 
     @property
     def chunk(self) -> int:
-        c = self.node_chunk if self.node_chunk is not None else self.n_nodes
+        c = self.node_chunk if self.node_chunk is not None else self.auto_chunk()
         return max(1, min(c, self.n_nodes))
+
+    def auto_chunk(self, budget_bytes: int = 4 << 30) -> int:
+        """Largest node-chunk whose working set fits the HBM budget.
+
+        The per-chunk working set is ~6 complex mode-grid arrays (alpha1*f_hat,
+        alpha2*f_hat, g1, g2, h, h_hat — the reference materializes 5 of these
+        at full batch size, ``FFTWBoltzmannOperator.cpp:30-37``, which cannot
+        fit at Nv=64/Ns=32).  Defaults to the whole batch when it fits.
+        """
+        n_modes = self.nv * self.nv * (
+            self.nv // 2 + 1 if self.impl == "rfft" else self.nv
+        )
+        itemsize = 16 if self.dtype == "float64" else 8
+        per_node = 6 * n_modes * itemsize
+        return max(1, min(self.n_nodes, budget_bytes // per_node))
 
     @property
     def n_chunks(self) -> int:
