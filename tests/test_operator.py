@@ -163,6 +163,26 @@ class TestDtypes:
         err = bz.error_norms(q, q_exact, g.dv)
         assert err["Linf"] < 7e-4
 
+    def test_differentiable(self):
+        # The operator is a pure composition of FFTs and elementwise ops, so
+        # it is differentiable end to end — the adjoint comes for free (a
+        # capability the reference cannot offer). Check the JVP/VJP against a
+        # finite difference of a scalar functional.
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        _, f, _ = _bkw_setup(cfg)
+        f = jnp.asarray(f)
+
+        loss = lambda x: jnp.sum(coll(x, pre) ** 2)
+        g = jax.grad(loss)(f)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+        rng = np.random.RandomState(0)
+        d = jnp.asarray(rng.randn(*f.shape)) * 1e-6
+        fd = float(loss(f + d)) - float(loss(f - d))
+        analytic = 2.0 * float(jnp.vdot(g, d))
+        np.testing.assert_allclose(analytic, fd, rtol=1e-4)
+
     def test_jit_and_grad_compatible(self):
         # The operator is a pure function: vmap and jit compose.
         cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="rfft")
