@@ -15,7 +15,6 @@ import sys
 import time
 from functools import partial
 
-import numpy as np
 
 
 def main(argv=None):

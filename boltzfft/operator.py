@@ -8,7 +8,7 @@ the reference's atomic accumulation (``FFTWBoltzmannOperator.cpp:267-270``,
 ``BoltzmannCUDAKernels.cu:120-121``) — run-to-run and device-count invariant by
 construction.
 
-Two implementations (selected by ``CollisionConfig.impl``):
+Three implementations (selected by ``CollisionConfig.impl``):
 
 * ``"c2c"`` — reference-faithful complex transforms; the direct analog of
   ``FFTWBoltzmannOperator::computeCollision`` (``FFTWBoltzmannOperator.cpp:147-334``)
@@ -23,6 +23,13 @@ Two implementations (selected by ``CollisionConfig.impl``):
   are real (alpha1 is a pure phase with Hermitian symmetry, alpha1(-l) =
   conj(alpha1(l))), so every transform in the pipeline can be a real-to-complex
   half-spectrum FFT: ~2x less FLOPs and HBM traffic than the c2c pipeline.
+  Exact caveat: the symmetry fails on the Nyquist planes, where ``irfftn``
+  implicitly symmetrizes — a deviation bounded by f's Nyquist-mode content,
+  i.e. below the spectral error floor for resolved distributions (verified to
+  ~1e-13 relative against c2c on BKW data).
+* ``"dft"`` — every transform written as per-axis batched *real* matmuls on the
+  MXU with the per-node alpha phases folded into the transform matrices (see
+  ``_gain_chunk_dft``).
 
 The quadrature-node batch axis is processed in chunks with ``lax.scan`` so HBM
 stays bounded at large ``Nv``/``Ns`` (the reference materializes five
