@@ -1,0 +1,44 @@
+"""Self-check utility and the driver entry-point contract."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+class TestSelfcheck:
+    def test_passes_on_cpu(self):
+        from boltzfft.health import selfcheck
+
+        r = selfcheck()
+        assert r["ok"], r
+        assert r["finite"]
+        assert r["backend"] == "cpu"
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        import __graft_entry__ as ge
+
+        fn, (f, pre) = ge.entry()
+        q = jax.jit(fn)(f, pre)
+        assert q.shape == f.shape
+        assert np.all(np.isfinite(np.asarray(q)))
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+    def test_dryrun_multichip(self, capsys):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+        assert "dryrun_multichip ok" in capsys.readouterr().out
+
+    @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+    def test_dryrun_multichip_odd_mesh(self, capsys):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(4)
+        assert "dryrun_multichip ok" in capsys.readouterr().out
