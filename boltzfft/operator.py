@@ -101,15 +101,13 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
     fr, fi = pre.dft_fwd[0], pre.dft_fwd[1]
 
     def cmatmul(spec_str, mr, mi, tr, ti):
-        """Complex contraction (mr + i mi) . (tr + i ti) via 4 real einsums."""
-        pe = rd
-        out_r = jnp.einsum(spec_str, mr, tr, preferred_element_type=pe) - jnp.einsum(
-            spec_str, mi, ti, preferred_element_type=pe
-        )
-        out_i = jnp.einsum(spec_str, mr, ti, preferred_element_type=pe) + jnp.einsum(
-            spec_str, mi, tr, preferred_element_type=pe
-        )
-        return out_r, out_i
+        """Complex contraction (mr + i mi) . (tr + i ti) via 3 real einsums
+        (Karatsuba/Gauss trick: 25% fewer MXU FLOPs than the naive 4)."""
+        es = partial(jnp.einsum, spec_str, preferred_element_type=rd)
+        p1 = es(mr, tr)
+        p2 = es(mi, ti)
+        p3 = es(mr + mi, tr + ti)
+        return p1 - p2, p3 - p1 - p2
 
     def node_mats(a, conj):
         # per-node inverse-transform matrix Vinv . diag(a) (or diag(conj a)),
