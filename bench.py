@@ -54,9 +54,35 @@ def measure(cfg: bz.CollisionConfig, k: int = 32, trials: int = 3) -> float:
 
 
 def main():
-    cfg = bz.CollisionConfig(nv=32, ns=12, impl="rfft", dtype="float32")
-    sec_per_eval = measure(cfg)
-    evals_per_s = 1.0 / sec_per_eval
+    # Watchdog: a wedged device/tunnel must produce a fast honest failure,
+    # not a hung driver (the remote-TPU relay can stall for tens of minutes
+    # after a runtime fault).
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("benchmark watchdog expired")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(1200)
+    try:
+        cfg = bz.CollisionConfig(nv=32, ns=12, impl="rfft", dtype="float32")
+        sec_per_eval = measure(cfg)
+        evals_per_s = 1.0 / sec_per_eval
+    except Exception as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "collision_evals_per_sec_nv32_ns12_f32",
+                    "value": 0,
+                    "unit": "evals/s",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}"[:200],
+                }
+            )
+        )
+        return
+    finally:
+        signal.alarm(0)
     print(
         json.dumps(
             {
