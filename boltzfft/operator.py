@@ -96,7 +96,11 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
 
     # All contractions are expressed as real-valued einsums over separate
     # (re, im) planes: complex dot_general is not implemented on all TPU
-    # runtimes, and explicit real matmuls map straight onto the MXU.
+    # runtimes, and explicit real matmuls map straight onto the MXU.  The
+    # transform matrices are *shared* across nodes (the per-node phases are
+    # applied as one fused elementwise multiply first): a shared (N, N) matrix
+    # against a (N, C*N^2) stack keeps the MXU pipeline full, whereas per-node
+    # batched (N, N) matmuls are latency-bound.
     vr, vi = pre.dft_inv[0], pre.dft_inv[1]
     fr, fi = pre.dft_fwd[0], pre.dft_fwd[1]
 
@@ -109,31 +113,25 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
         p3 = es(mr + mi, tr + ti)
         return p1 - p2, p3 - p1 - p2
 
-    def node_mats(a, conj):
-        # per-node inverse-transform matrix Vinv . diag(a) (or diag(conj a)),
-        # split into (C, N_pos, N_mode) re/im planes
-        ar, ai = jnp.real(a), jnp.imag(a)
-        if conj:
-            ai = -ai
-        mr = vr[None] * ar[:, None, :] - vi[None] * ai[:, None, :]
-        mi = vr[None] * ai[:, None, :] + vi[None] * ar[:, None, :]
-        return mr, mi
+    def mm3(mats, sr, si):
+        # 3-axis tensor transform with shared per-axis matrices
+        mr, mi = mats
+        sr, si = cmatmul("xm,bmjk->bxjk", mr, mi, sr, si)
+        sr, si = cmatmul("yn,bxnk->bxyk", mr, mi, sr, si)
+        return cmatmul("zp,bxyp->bxyz", mr, mi, sr, si)
 
-    def inv3(conj, sr, si):
-        # x-axis op consumes the shared (unbatched) f_hat; y/z are per-node
-        sr, si = cmatmul("bxm,mjk->bxjk", *node_mats(ax, conj), sr, si)
-        sr, si = cmatmul("byn,bxnk->bxyk", *node_mats(ay, conj), sr, si)
-        return cmatmul("bzp,bxyp->bxyz", *node_mats(az, conj), sr, si)
+    # fused per-node phase multiply (same elementwise cost as the rfft path)
+    a1 = ax[:, :, None, None] * ay[:, None, :, None] * az[:, None, None, :]
+    a1f = a1 * f_hat[None]
+    a2f = jnp.conj(a1) * f_hat[None]
 
-    f_r, f_i = jnp.real(f_hat).astype(rd), jnp.imag(f_hat).astype(rd)
-    g1r, g1i = inv3(False, f_r, f_i)
-    g2r, g2i = inv3(True, f_r, f_i)
+    g1r, g1i = mm3((vr, vi), jnp.real(a1f).astype(rd), jnp.imag(a1f).astype(rd))
+    g2r, g2i = mm3((vr, vi), jnp.real(a2f).astype(rd), jnp.imag(a2f).astype(rd))
     hr = g1r * g2r - g1i * g2i
     hi = g1r * g2i + g1i * g2r
 
-    # shared forward transform (modes <- positions), matrices common to all nodes
-    for spec in ("mx,bxjk->bmjk", "ny,bmyk->bmnk", "pz,bmnz->bmnp"):
-        hr, hi = cmatmul(spec, fr, fi, hr, hi)
+    # shared forward transform (modes <- positions)
+    hr, hi = mm3((fr, fi), hr, hi)
 
     w = gain_w[:, None, None, None] * _beta1(cfg, pre, rho)
     qr = jnp.sum(w * hr, axis=0)

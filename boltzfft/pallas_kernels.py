@@ -82,6 +82,7 @@ def gain_reduce(
     (one read of h, no materialized (B, M) weight array).
     """
     b, m = h_r.shape
+    m_out = m  # unpadded output length
     dt = h_r.dtype
     lanes = 128
     if m % lanes:
@@ -125,7 +126,7 @@ def gain_reduce(
         ],
         interpret=_interpret(),
     )(rho.astype(dt), gain_w.astype(dt), nl2.astype(dt), hr3, hi3)
-    return out_r.reshape(-1)[: norm_l.size], out_i.reshape(-1)[: norm_l.size]
+    return out_r.reshape(-1)[:m_out], out_i.reshape(-1)[:m_out]
 
 
 # --------------------------------------------------------------------------

@@ -9,8 +9,9 @@ from boltzfft import pallas_kernels as pk
 
 
 class TestGainReduce:
-    @pytest.mark.parametrize("b,m", [(12, 256), (24, 17 * 16 * 16)])
+    @pytest.mark.parametrize("b,m", [(12, 256), (24, 17 * 16 * 16), (6, 320)])
     def test_matches_dense_reduction(self, b, m):
+        # m=320 is not a multiple of 128 — exercises lane padding + unpad
         rng = np.random.RandomState(0)
         h_r = jnp.asarray(rng.randn(b, m), jnp.float64)
         h_i = jnp.asarray(rng.randn(b, m), jnp.float64)
