@@ -92,7 +92,9 @@ def gain_reduce(
         norm_l = jnp.pad(norm_l, (0, pad), constant_values=1.0)
         m += pad
     rows = m // lanes
-    rb = math.gcd(row_block, rows)
+    # Mosaic requires the 2nd-to-last block dim divisible by 8 or equal to the
+    # full array dim.
+    rb = row_block if rows % row_block == 0 and row_block % 8 == 0 else rows
     nb = math.gcd(node_block, b)
 
     hr3 = h_r.reshape(b, rows, lanes)
@@ -138,14 +140,17 @@ def _alpha_multiply_kernel(
     axr_ref, axi_ref, ayzr_ref, ayzi_ref, fr_ref, fi_ref,
     o1r_ref, o1i_ref, o2r_ref, o2i_ref,
 ):
+    i = pl.program_id(0)  # node index; small factor arrays live whole in VMEM
     # m = ayz * f_hat  (flattened (jk) modes), shared across the i axis
-    mr = ayzr_ref[:] * fr_ref[:] - ayzi_ref[:] * fi_ref[:]
-    mi = ayzr_ref[:] * fi_ref[:] + ayzi_ref[:] * fr_ref[:]
+    ayzr = ayzr_ref[i, :]
+    ayzi = ayzi_ref[i, :]
+    mr = ayzr * fr_ref[:] - ayzi * fi_ref[:]
+    mi = ayzr * fi_ref[:] + ayzi * fr_ref[:]
     # m2 = conj(ayz) * f_hat
-    m2r = ayzr_ref[:] * fr_ref[:] + ayzi_ref[:] * fi_ref[:]
-    m2i = ayzr_ref[:] * fi_ref[:] - ayzi_ref[:] * fr_ref[:]
-    axr = axr_ref[:].reshape(-1, 1)  # (N, 1) column of per-i phases
-    axi = axi_ref[:].reshape(-1, 1)
+    m2r = ayzr * fr_ref[:] + ayzi * fi_ref[:]
+    m2i = ayzr * fi_ref[:] - ayzi * fr_ref[:]
+    axr = axr_ref[i, :].reshape(-1, 1)  # (N, 1) column of per-i phases
+    axi = axi_ref[i, :].reshape(-1, 1)
     o1r_ref[0] = axr * mr - axi * mi
     o1i_ref[0] = axr * mi + axi * mr
     o2r_ref[0] = axr * m2r + axi * m2i
@@ -158,20 +163,22 @@ def alpha_multiply(
     f_r, f_i,  # (N, M2) flattened f_hat
 ):
     """Per-node phase multiply: one f_hat read produces both alpha1*f_hat and
-    conj(alpha1)*f_hat, alpha assembled in-register from separable factors."""
+    conj(alpha1)*f_hat, alpha assembled in-register from separable factors.
+
+    The small per-node factor tables (B, N)/(B, M2) are held whole in VMEM and
+    indexed by ``program_id`` (Mosaic rejects per-row blocks whose sublane
+    count isn't a multiple of 8); only the (1, N, M2) outputs are blocked.
+    """
     b, n = ax_r.shape
     m2 = f_r.shape[1]
     dt = f_r.dtype
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _alpha_multiply_kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            full(ax_r), full(ax_i), full(ayz_r), full(ayz_i),
+            full(f_r), full(f_i),
         ],
         out_specs=[
             pl.BlockSpec((1, n, m2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
