@@ -42,7 +42,7 @@ def _interpret() -> bool:
 
 
 def _gain_reduce_kernel(
-    rho_ref, gw_ref, nl_ref, hr_ref, hi_ref, or_ref, oi_ref, *, coef, amp, eps
+    rho_ref, gw_ref, nl_ref, hr_ref, hi_ref, or_ref, oi_ref, *, coef, amp, eps, nb
 ):
     j = pl.program_id(1)  # node-chunk position (innermost, sequential on TPU)
 
@@ -54,9 +54,10 @@ def _gain_reduce_kernel(
     nl = nl_ref[:]  # (TR, 128) mode-norm tile
     acc_r = jnp.zeros_like(nl)
     acc_i = jnp.zeros_like(nl)
-    for b in range(rho_ref.shape[0]):  # static unrolled loop over the node chunk
-        arg = (coef * rho_ref[b]) * nl + eps
-        w = (amp * gw_ref[b]) * jnp.sin(arg) / arg
+    base = j * nb  # rho/gw live whole in SMEM; index by grid position
+    for b in range(nb):  # static unrolled loop over the node chunk
+        arg = (coef * rho_ref[base + b]) * nl + eps
+        w = (amp * gw_ref[base + b]) * jnp.sin(arg) / arg
         acc_r = acc_r + w * hr_ref[b]
         acc_i = acc_i + w * hi_ref[b]
     or_ref[:] = or_ref[:] + acc_r
@@ -107,13 +108,14 @@ def gain_reduce(
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
         eps=eps,
+        nb=nb,
     )
     out_r, out_i = pl.pallas_call(
         kernel,
         grid=(rows // rb, b // nb),
         in_specs=[
-            pl.BlockSpec((nb,), lambda i, j: (j,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nb,), lambda i, j: (j,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, rb, lanes), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, rb, lanes), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
