@@ -208,6 +208,17 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
     from ``cfg.n_nodes``) so the same code runs on a device-local shard of the
     node axis inside ``shard_map``.
     """
+    if cfg.impl == "fused":
+        # single megakernel over all (local) nodes; grid-level accumulation
+        from . import pallas_kernels as pk
+
+        ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
+        return pk.fused_gain(
+            pre.rho, pre.gain_w, ax, ay, az, f_hat,
+            pre.dft_inv, pre.dft_fwd, pre.norm_l,
+            length=cfg.domain_length, b_gamma=cfg.b_gamma,
+        ).astype(cfg.complex_dtype)
+
     b = pre.rho.shape[0]
     c = min(cfg.chunk, b)
     if b % c != 0:  # caller supplied unpadded nodes; fall back to one chunk

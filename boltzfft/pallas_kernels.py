@@ -134,6 +134,155 @@ def gain_reduce(
 
 
 # --------------------------------------------------------------------------
+# fused_gain: the whole per-node pipeline (phase multiply -> inverse 3-D DFT
+# -> Hadamard -> forward 3-D DFT -> weighted accumulate) in one VMEM-resident
+# kernel.  HBM traffic collapses to one f_hat read (shared across the grid)
+# plus one Q_hat accumulation — the staged XLA pipeline materializes ~6
+# (B, N^3) intermediates instead.
+# --------------------------------------------------------------------------
+
+
+def _dft3(n, mr, mi, tr, ti):
+    """In-VMEM complex 3-D transform of (N, N^2)-packed planes with the shared
+    (N, N) axis matrix (mr, mi).
+
+    Axis scheme avoids full-tensor rotations: x via left-multiply on the
+    (m, jk) packing, z via right-multiply on the contiguity-preserving
+    (xj, k) view, y via one last-two-axis swap + right-multiply + swap back.
+    All contractions are ``jnp.dot`` -> MXU; Karatsuba (3 real dots each).
+    """
+
+    def cdot(ar, ai, br, bi):
+        pe = ar.dtype
+        p1 = jnp.dot(ar, br, preferred_element_type=pe)
+        p2 = jnp.dot(ai, bi, preferred_element_type=pe)
+        p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=pe)
+        return p1 - p2, p3 - p1 - p2
+
+    mrt, mit = mr.T, mi.T
+
+    # x axis: (x, m) @ (m, jk)
+    tr, ti = cdot(mr, mi, tr, ti)
+    # z axis: view (xj, k), right-multiply by M^T
+    tr = tr.reshape(n * n, n)
+    ti = ti.reshape(n * n, n)
+    tr, ti = cdot(tr, ti, mrt, mit)
+    # y axis: swap j<->k (per x), right-multiply, swap back
+    tr = jnp.swapaxes(tr.reshape(n, n, n), 1, 2).reshape(n * n, n)
+    ti = jnp.swapaxes(ti.reshape(n, n, n), 1, 2).reshape(n * n, n)
+    tr, ti = cdot(tr, ti, mrt, mit)
+    tr = jnp.swapaxes(tr.reshape(n, n, n), 1, 2).reshape(n, n * n)
+    ti = jnp.swapaxes(ti.reshape(n, n, n), 1, 2).reshape(n, n * n)
+    return tr, ti
+
+
+def _fused_gain_kernel(
+    rho_ref, gw_ref,
+    axr_ref, axi_ref, ayr_ref, ayi_ref, azr_ref, azi_ref,
+    fr_ref, fi_ref, vr_ref, vi_ref, wr_ref, wi_ref, nl_ref,
+    or_ref, oi_ref, *, n, coef, amp, eps,
+):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        or_ref[:] = jnp.zeros_like(or_ref)
+        oi_ref[:] = jnp.zeros_like(oi_ref)
+
+    fr, fi = fr_ref[:], fi_ref[:]  # (N, N^2) packed f_hat planes
+    axr = axr_ref[b, :].reshape(n, 1)
+    axi = axi_ref[b, :].reshape(n, 1)
+    # combined (j, k) phase row: ayz = ay x az, flattened to (1, N^2)
+    ayr = ayr_ref[b, :].reshape(n, 1)
+    ayi = ayi_ref[b, :].reshape(n, 1)
+    azr = azr_ref[b, :].reshape(1, n)
+    azi = azi_ref[b, :].reshape(1, n)
+    yzr = (ayr * azr - ayi * azi).reshape(1, n * n)
+    yzi = (ayr * azi + ayi * azr).reshape(1, n * n)
+
+    # full alpha1 = ax (col) * ayz (row); a1f = alpha1 * f_hat, a2f = conj * f_hat
+    a1r = axr * yzr - axi * yzi
+    a1i = axr * yzi + axi * yzr
+    t1r = a1r * fr - a1i * fi
+    t1i = a1r * fi + a1i * fr
+    t2r = a1r * fr + a1i * fi
+    t2i = a1r * fi - a1i * fr  # conj(a1)*f = a1r*f - i*a1i*f -> re: a1r fr + a1i fi
+
+    vr, vi = vr_ref[:], vi_ref[:]
+    g1r, g1i = _dft3(n, vr, vi, t1r, t1i)
+    g2r, g2i = _dft3(n, vr, vi, t2r, t2i)
+
+    hr = g1r * g2r - g1i * g2i
+    hi = g1r * g2i + g1i * g2r
+
+    hr, hi = _dft3(n, wr_ref[:], wi_ref[:], hr, hi)
+
+    arg = (coef * rho_ref[b]) * nl_ref[:] + eps
+    w = (amp * gw_ref[b]) * jnp.sin(arg) / arg
+    or_ref[:] = or_ref[:] + w * hr
+    oi_ref[:] = oi_ref[:] + w * hi
+
+
+def fused_gain(
+    rho, gain_w,  # (B,)
+    ax, ay, az,  # (B, N) complex separable phase factors
+    f_hat,  # (N, N, N) complex full spectrum
+    dft_inv, dft_fwd,  # (2, N, N) stacked re/im transform matrices
+    norm_l,  # (N, N, N) mode norms
+    *, length, b_gamma,
+):
+    """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
+
+    Returns the (N, N, N) complex gain spectrum.  One grid step per node;
+    everything except the initial f_hat read and the output accumulation stays
+    in VMEM.
+    """
+    b, n = ax.shape
+    dt = jnp.float32 if f_hat.dtype == jnp.complex64 else jnp.float64
+    pack = lambda z: z.reshape(n, n * n).astype(dt)
+    planes = dict(
+        fr=pack(jnp.real(f_hat)), fi=pack(jnp.imag(f_hat)),
+        nl=norm_l.reshape(n, n * n).astype(dt),
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+
+    eps = float(np.finfo(dt).eps)
+    kernel = partial(
+        _fused_gain_kernel,
+        n=n,
+        coef=math.pi / (2.0 * length),
+        amp=4.0 * math.pi * b_gamma,
+        eps=eps,
+    )
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            smem(), smem(),
+            full((b, n)), full((b, n)), full((b, n)), full((b, n)),
+            full((b, n)), full((b, n)),
+            full((n, n * n)), full((n, n * n)),
+            full((n, n)), full((n, n)), full((n, n)), full((n, n)),
+            full((n, n * n)),
+        ],
+        out_specs=[full((n, n * n)), full((n, n * n))],
+        out_shape=[jax.ShapeDtypeStruct((n, n * n), dt)] * 2,
+        interpret=_interpret(),
+    )(
+        rho.astype(dt), gain_w.astype(dt),
+        jnp.real(ax).astype(dt), jnp.imag(ax).astype(dt),
+        jnp.real(ay).astype(dt), jnp.imag(ay).astype(dt),
+        jnp.real(az).astype(dt), jnp.imag(az).astype(dt),
+        planes["fr"], planes["fi"],
+        dft_inv[0].astype(dt), dft_inv[1].astype(dt),
+        dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
+        planes["nl"],
+    )
+    return (out_r + 1j * out_i).reshape(n, n, n)
+
+
+# --------------------------------------------------------------------------
 # alpha_multiply: a1f[b,l] = alpha1(b,l) f_hat[l], a2f[b,l] = conj(alpha1) f_hat[l]
 # --------------------------------------------------------------------------
 

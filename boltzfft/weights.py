@@ -51,17 +51,20 @@ class CollisionConfig:
     radial_radius: Optional[float] = None  # R; default 2*S
     length: Optional[float] = None  # L; default ((3+sqrt 2)/2)*S
     dtype: str = "float64"  # "float32" | "float64"
-    # impl: "rfft" — real half-spectrum transforms (fast, bandwidth-optimal);
-    #       "c2c"  — reference-faithful complex transforms;
-    #       "dft"  — matmul-form DFT on the MXU with the per-node alpha phases
-    #                folded into the per-axis transform matrices (TPU-fastest).
+    # impl: "rfft"  — real half-spectrum transforms (fast, bandwidth-optimal);
+    #       "c2c"   — reference-faithful complex transforms;
+    #       "dft"   — matmul-form DFT einsums on the MXU;
+    #       "fused" — single Pallas megakernel: the whole per-node pipeline
+    #                 stays VMEM-resident (near-zero HBM intermediates).
     impl: str = "rfft"
     node_chunk: Optional[int] = None  # nodes per scan step; None = whole batch
     use_pallas: bool = False  # fuse alpha-multiply + gain-reduce via Pallas (rfft only)
 
     def __post_init__(self):
-        if self.impl not in ("rfft", "c2c", "dft"):
-            raise ValueError(f"impl must be 'rfft', 'c2c' or 'dft', got {self.impl!r}")
+        if self.impl not in ("rfft", "c2c", "dft", "fused"):
+            raise ValueError(
+                f"impl must be 'rfft', 'c2c', 'dft' or 'fused', got {self.impl!r}"
+            )
         if self.use_pallas and self.impl != "rfft":
             raise ValueError("use_pallas requires impl='rfft'")
         if self.dtype not in ("float32", "float64"):
@@ -202,7 +205,7 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
     # Vinv[x, m] = exp(+2 pi i m x / N) / N — the inverse carries jnp's 1/N
     # normalization per axis so the overall scaling matches fftn/ifftn.
     dft_fwd = dft_inv = None
-    if cfg.impl == "dft":
+    if cfg.impl in ("dft", "fused"):
         mx = np.arange(n)
         ph = 2.0 * np.pi * np.outer(mx, mx) / n
         dft_fwd = np.stack([np.cos(ph), -np.sin(ph)])  # exp(-i ph)

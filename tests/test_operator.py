@@ -47,7 +47,9 @@ class TestBKWOracle:
 
 
 class TestCrossImplementationParity:
-    @pytest.mark.parametrize("impl,tol", [("rfft", 1e-13), ("dft", 1e-12)])
+    @pytest.mark.parametrize(
+        "impl,tol", [("rfft", 1e-13), ("dft", 1e-12), ("fused", 1e-12)]
+    )
     def test_matches_c2c(self, impl, tol):
         # rfft agrees up to the (spectrally negligible) Nyquist content of f;
         # dft is an exact reformulation up to summation order.
