@@ -143,13 +143,14 @@ def gain_reduce(
 
 
 def _dft3(n, mr, mi, tr, ti):
-    """In-VMEM complex 3-D transform of (N, N^2)-packed planes with the shared
+    """In-VMEM complex 3-D transform of (N, N, N) re/im planes with the shared
     (N, N) axis matrix (mr, mi).
 
-    Axis scheme avoids full-tensor rotations: x via left-multiply on the
-    (m, jk) packing, z via right-multiply on the contiguity-preserving
-    (xj, k) view, y via one last-two-axis swap + right-multiply + swap back.
-    All contractions are ``jnp.dot`` -> MXU; Karatsuba (3 real dots each).
+    Every axis is transformed as a tall ``(N^2, N) @ (N, N)`` MXU matmul
+    (Karatsuba: 3 real dots per complex contraction).  Axis positioning uses
+    only Mosaic-supported vector ops: leading-dim reshapes (lane dimension
+    untouched), a last-two-axis swap for y, and a full rotation transpose for
+    x — lane-crossing reshapes are rejected by the compiler.
     """
 
     def cdot(ar, ai, br, bi):
@@ -161,19 +162,18 @@ def _dft3(n, mr, mi, tr, ti):
 
     mrt, mit = mr.T, mi.T
 
-    # x axis: (x, m) @ (m, jk)
-    tr, ti = cdot(mr, mi, tr, ti)
-    # z axis: view (xj, k), right-multiply by M^T
-    tr = tr.reshape(n * n, n)
-    ti = ti.reshape(n * n, n)
-    tr, ti = cdot(tr, ti, mrt, mit)
-    # y axis: swap j<->k (per x), right-multiply, swap back
-    tr = jnp.swapaxes(tr.reshape(n, n, n), 1, 2).reshape(n * n, n)
-    ti = jnp.swapaxes(ti.reshape(n, n, n), 1, 2).reshape(n * n, n)
-    tr, ti = cdot(tr, ti, mrt, mit)
-    tr = jnp.swapaxes(tr.reshape(n, n, n), 1, 2).reshape(n, n * n)
-    ti = jnp.swapaxes(ti.reshape(n, n, n), 1, 2).reshape(n, n * n)
-    return tr, ti
+    def last_axis(tr, ti):
+        tr2, ti2 = cdot(tr.reshape(n * n, n), ti.reshape(n * n, n), mrt, mit)
+        return tr2.reshape(n, n, n), ti2.reshape(n, n, n)
+
+    # z (last) axis
+    tr, ti = last_axis(tr, ti)
+    # y axis: swap j<->k, transform, swap back
+    tr, ti = last_axis(jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2))
+    tr, ti = jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2)
+    # x axis: rotate x to last, transform, rotate back
+    tr, ti = last_axis(jnp.transpose(tr, (1, 2, 0)), jnp.transpose(ti, (1, 2, 0)))
+    return jnp.transpose(tr, (2, 0, 1)), jnp.transpose(ti, (2, 0, 1))
 
 
 def _fused_gain_kernel(
@@ -189,18 +189,17 @@ def _fused_gain_kernel(
         or_ref[:] = jnp.zeros_like(or_ref)
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
-    fr, fi = fr_ref[:], fi_ref[:]  # (N, N^2) packed f_hat planes
-    axr = axr_ref[b, :].reshape(n, 1)
-    axi = axi_ref[b, :].reshape(n, 1)
-    # combined (j, k) phase row: ayz = ay x az, flattened to (1, N^2)
-    ayr = ayr_ref[b, :].reshape(n, 1)
-    ayi = ayi_ref[b, :].reshape(n, 1)
-    azr = azr_ref[b, :].reshape(1, n)
-    azi = azi_ref[b, :].reshape(1, n)
-    yzr = (ayr * azr - ayi * azi).reshape(1, n * n)
-    yzi = (ayr * azi + ayi * azr).reshape(1, n * n)
+    fr, fi = fr_ref[:], fi_ref[:]  # (N, N, N) f_hat planes
+    axr = axr_ref[b, :].reshape(n, 1, 1)
+    axi = axi_ref[b, :].reshape(n, 1, 1)
+    ayr = ayr_ref[b, :].reshape(1, n, 1)
+    ayi = ayi_ref[b, :].reshape(1, n, 1)
+    azr = azr_ref[b, :].reshape(1, 1, n)
+    azi = azi_ref[b, :].reshape(1, 1, n)
+    yzr = ayr * azr - ayi * azi
+    yzi = ayr * azi + ayi * azr
 
-    # full alpha1 = ax (col) * ayz (row); a1f = alpha1 * f_hat, a2f = conj * f_hat
+    # full alpha1 = ax * ay * az; a1f = alpha1 * f_hat, a2f = conj(alpha1) * f_hat
     a1r = axr * yzr - axi * yzi
     a1i = axr * yzi + axi * yzr
     t1r = a1r * fr - a1i * fi
@@ -239,11 +238,6 @@ def fused_gain(
     """
     b, n = ax.shape
     dt = jnp.float32 if f_hat.dtype == jnp.complex64 else jnp.float64
-    pack = lambda z: z.reshape(n, n * n).astype(dt)
-    planes = dict(
-        fr=pack(jnp.real(f_hat)), fi=pack(jnp.imag(f_hat)),
-        nl=norm_l.reshape(n, n * n).astype(dt),
-    )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
 
@@ -262,24 +256,24 @@ def fused_gain(
             smem(), smem(),
             full((b, n)), full((b, n)), full((b, n)), full((b, n)),
             full((b, n)), full((b, n)),
-            full((n, n * n)), full((n, n * n)),
+            full((n, n, n)), full((n, n, n)),
             full((n, n)), full((n, n)), full((n, n)), full((n, n)),
-            full((n, n * n)),
+            full((n, n, n)),
         ],
-        out_specs=[full((n, n * n)), full((n, n * n))],
-        out_shape=[jax.ShapeDtypeStruct((n, n * n), dt)] * 2,
+        out_specs=[full((n, n, n)), full((n, n, n))],
+        out_shape=[jax.ShapeDtypeStruct((n, n, n), dt)] * 2,
         interpret=_interpret(),
     )(
         rho.astype(dt), gain_w.astype(dt),
         jnp.real(ax).astype(dt), jnp.imag(ax).astype(dt),
         jnp.real(ay).astype(dt), jnp.imag(ay).astype(dt),
         jnp.real(az).astype(dt), jnp.imag(az).astype(dt),
-        planes["fr"], planes["fi"],
+        jnp.real(f_hat).astype(dt), jnp.imag(f_hat).astype(dt),
         dft_inv[0].astype(dt), dft_inv[1].astype(dt),
         dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
-        planes["nl"],
+        norm_l.astype(dt),
     )
-    return (out_r + 1j * out_i).reshape(n, n, n)
+    return out_r + 1j * out_i
 
 
 # --------------------------------------------------------------------------
