@@ -142,15 +142,18 @@ def gain_reduce(
 # --------------------------------------------------------------------------
 
 
-def _dft3(n, mr, mi, tr, ti):
+def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None):
     """In-VMEM complex 3-D transform of (N, N, N) re/im planes with the shared
-    (N, N) axis matrix (mr, mi).
+    (N, N) axis matrix (mr, mi), with optional per-axis diagonal phase factors
+    fused in (``px``/``py``/``pz`` are ``(re, im)`` lane vectors of length N).
 
     Every axis is transformed as a tall ``(N^2, N) @ (N, N)`` MXU matmul
     (Karatsuba: 3 real dots per complex contraction).  Axis positioning uses
     only Mosaic-supported vector ops: leading-dim reshapes (lane dimension
     untouched), a last-two-axis swap for y, and a full rotation transpose for
-    x — lane-crossing reshapes are rejected by the compiler.
+    x — lane-crossing reshapes are rejected by the compiler.  Each phase is
+    applied while its axis sits in the lane position, so phases never need a
+    lane->sublane reshape (also unsupported).
     """
 
     def cdot(ar, ai, br, bi):
@@ -162,17 +165,23 @@ def _dft3(n, mr, mi, tr, ti):
 
     mrt, mit = mr.T, mi.T
 
-    def last_axis(tr, ti):
+    def last_axis(tr, ti, phase):
+        if phase is not None:
+            pr = phase[0].reshape(1, 1, n)
+            pi = phase[1].reshape(1, 1, n)
+            tr, ti = tr * pr - ti * pi, tr * pi + ti * pr
         tr2, ti2 = cdot(tr.reshape(n * n, n), ti.reshape(n * n, n), mrt, mit)
         return tr2.reshape(n, n, n), ti2.reshape(n, n, n)
 
     # z (last) axis
-    tr, ti = last_axis(tr, ti)
+    tr, ti = last_axis(tr, ti, pz)
     # y axis: swap j<->k, transform, swap back
-    tr, ti = last_axis(jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2))
+    tr, ti = last_axis(jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2), py)
     tr, ti = jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2)
     # x axis: rotate x to last, transform, rotate back
-    tr, ti = last_axis(jnp.transpose(tr, (1, 2, 0)), jnp.transpose(ti, (1, 2, 0)))
+    tr, ti = last_axis(
+        jnp.transpose(tr, (1, 2, 0)), jnp.transpose(ti, (1, 2, 0)), px
+    )
     return jnp.transpose(tr, (2, 0, 1)), jnp.transpose(ti, (2, 0, 1))
 
 
@@ -190,26 +199,19 @@ def _fused_gain_kernel(
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
     fr, fi = fr_ref[:], fi_ref[:]  # (N, N, N) f_hat planes
-    axr = axr_ref[b, :].reshape(n, 1, 1)
-    axi = axi_ref[b, :].reshape(n, 1, 1)
-    ayr = ayr_ref[b, :].reshape(1, n, 1)
-    ayi = ayi_ref[b, :].reshape(1, n, 1)
-    azr = azr_ref[b, :].reshape(1, 1, n)
-    azi = azi_ref[b, :].reshape(1, 1, n)
-    yzr = ayr * azr - ayi * azi
-    yzi = ayr * azi + ayi * azr
-
-    # full alpha1 = ax * ay * az; a1f = alpha1 * f_hat, a2f = conj(alpha1) * f_hat
-    a1r = axr * yzr - axi * yzi
-    a1i = axr * yzi + axi * yzr
-    t1r = a1r * fr - a1i * fi
-    t1i = a1r * fi + a1i * fr
-    t2r = a1r * fr + a1i * fi
-    t2i = a1r * fi - a1i * fr  # conj(a1)*f = a1r*f - i*a1i*f -> re: a1r fr + a1i fi
+    axr, axi = axr_ref[b, :], axi_ref[b, :]
+    ayr, ayi = ayr_ref[b, :], ayi_ref[b, :]
+    azr, azi = azr_ref[b, :], azi_ref[b, :]
 
     vr, vi = vr_ref[:], vi_ref[:]
-    g1r, g1i = _dft3(n, vr, vi, t1r, t1i)
-    g2r, g2i = _dft3(n, vr, vi, t2r, t2i)
+    # g1 = IFFT(alpha1 f_hat), g2 = IFFT(conj(alpha1) f_hat); the separable
+    # phases are fused into the per-axis transform steps.
+    g1r, g1i = _dft3(
+        n, vr, vi, fr, fi, px=(axr, axi), py=(ayr, ayi), pz=(azr, azi)
+    )
+    g2r, g2i = _dft3(
+        n, vr, vi, fr, fi, px=(axr, -axi), py=(ayr, -ayi), pz=(azr, -azi)
+    )
 
     hr = g1r * g2r - g1i * g2i
     hi = g1r * g2i + g1i * g2r
