@@ -143,18 +143,23 @@ def gain_reduce(
 
 
 def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None):
-    """In-VMEM complex 3-D transform of (N, N, N) re/im planes with the shared
-    (N, N) axis matrix (mr, mi), with optional per-axis diagonal phase factors
-    fused in (``px``/``py``/``pz`` are ``(re, im)`` lane vectors of length N).
+    """In-VMEM complex 3-D transform of (..., N, N, N) re/im planes with the
+    shared (N, N) axis matrix (mr, mi), with optional per-axis diagonal phase
+    factors fused in (``px``/``py``/``pz`` are ``(re, im)`` arrays broadcast
+    against the lane axis — ``(N,)`` shared or ``(C, N)`` per leading batch).
 
-    Every axis is transformed as a tall ``(N^2, N) @ (N, N)`` MXU matmul
+    Every axis is transformed as a tall ``(C N^2, N) @ (N, N)`` MXU matmul
     (Karatsuba: 3 real dots per complex contraction).  Axis positioning uses
     only Mosaic-supported vector ops: leading-dim reshapes (lane dimension
-    untouched), a last-two-axis swap for y, and a full rotation transpose for
-    x — lane-crossing reshapes are rejected by the compiler.  Each phase is
+    untouched), a last-two-axis swap for y, and a rotation transpose for x —
+    lane-crossing reshapes are rejected by the compiler.  Each phase is
     applied while its axis sits in the lane position, so phases never need a
     lane->sublane reshape (also unsupported).
     """
+    shape = tr.shape
+    batched = len(shape) == 4
+    rot_fwd = (0, 2, 3, 1) if batched else (1, 2, 0)
+    rot_bwd = (0, 3, 1, 2) if batched else (2, 0, 1)
 
     def cdot(ar, ai, br, bi):
         pe = ar.dtype
@@ -165,43 +170,51 @@ def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None):
 
     mrt, mit = mr.T, mi.T
 
+    def phase_shape(p):
+        # (N,) -> (1, .., N); (C, N) -> (C, 1, 1, N)
+        if p.ndim == 1:
+            return p.reshape((1,) * (len(shape) - 1) + (n,))
+        return p.reshape(p.shape[0], 1, 1, n)
+
     def last_axis(tr, ti, phase):
         if phase is not None:
-            pr = phase[0].reshape(1, 1, n)
-            pi = phase[1].reshape(1, 1, n)
+            pr = phase_shape(phase[0])
+            pi = phase_shape(phase[1])
             tr, ti = tr * pr - ti * pi, tr * pi + ti * pr
-        tr2, ti2 = cdot(tr.reshape(n * n, n), ti.reshape(n * n, n), mrt, mit)
-        return tr2.reshape(n, n, n), ti2.reshape(n, n, n)
+        tr2, ti2 = cdot(tr.reshape(-1, n), ti.reshape(-1, n), mrt, mit)
+        return tr2.reshape(tr.shape), ti2.reshape(ti.shape)
 
     # z (last) axis
     tr, ti = last_axis(tr, ti, pz)
     # y axis: swap j<->k, transform, swap back
-    tr, ti = last_axis(jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2), py)
-    tr, ti = jnp.swapaxes(tr, 1, 2), jnp.swapaxes(ti, 1, 2)
+    tr, ti = last_axis(jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2), py)
+    tr, ti = jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2)
     # x axis: rotate x to last, transform, rotate back
     tr, ti = last_axis(
-        jnp.transpose(tr, (1, 2, 0)), jnp.transpose(ti, (1, 2, 0)), px
+        jnp.transpose(tr, rot_fwd), jnp.transpose(ti, rot_fwd), px
     )
-    return jnp.transpose(tr, (2, 0, 1)), jnp.transpose(ti, (2, 0, 1))
+    return jnp.transpose(tr, rot_bwd), jnp.transpose(ti, rot_bwd)
 
 
 def _fused_gain_kernel(
     rho_ref, gw_ref,
     axr_ref, axi_ref, ayr_ref, ayi_ref, azr_ref, azi_ref,
     fr_ref, fi_ref, vr_ref, vi_ref, wr_ref, wi_ref, nl_ref,
-    or_ref, oi_ref, *, n, coef, amp, eps,
+    or_ref, oi_ref, *, n, c, coef, amp, eps,
 ):
-    b = pl.program_id(0)
+    i = pl.program_id(0)
 
-    @pl.when(b == 0)
+    @pl.when(i == 0)
     def _():
         or_ref[:] = jnp.zeros_like(or_ref)
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
-    fr, fi = fr_ref[:], fi_ref[:]  # (N, N, N) f_hat planes
-    axr, axi = axr_ref[b, :], axi_ref[b, :]
-    ayr, ayi = ayr_ref[b, :], ayi_ref[b, :]
-    azr, azi = azr_ref[b, :], azi_ref[b, :]
+    # broadcast the shared f_hat over the C nodes of this step
+    fr = jnp.broadcast_to(fr_ref[:][None], (c, n, n, n))
+    fi = jnp.broadcast_to(fi_ref[:][None], (c, n, n, n))
+    axr, axi = axr_ref[:], axi_ref[:]  # (C, N) per-node phase factors
+    ayr, ayi = ayr_ref[:], ayi_ref[:]
+    azr, azi = azr_ref[:], azi_ref[:]
 
     vr, vi = vr_ref[:], vi_ref[:]
     # g1 = IFFT(alpha1 f_hat), g2 = IFFT(conj(alpha1) f_hat); the separable
@@ -218,10 +231,18 @@ def _fused_gain_kernel(
 
     hr, hi = _dft3(n, wr_ref[:], wi_ref[:], hr, hi)
 
-    arg = (coef * rho_ref[b]) * nl_ref[:] + eps
-    w = (amp * gw_ref[b]) * jnp.sin(arg) / arg
-    or_ref[:] = or_ref[:] + w * hr
-    oi_ref[:] = oi_ref[:] + w * hi
+    # weighted accumulation over the C nodes (beta1 in-register)
+    nl = nl_ref[:]
+    acc_r = jnp.zeros_like(nl)
+    acc_i = jnp.zeros_like(nl)
+    base = i * c
+    for cc in range(c):
+        arg = (coef * rho_ref[base + cc]) * nl + eps
+        w = (amp * gw_ref[base + cc]) * jnp.sin(arg) / arg
+        acc_r = acc_r + w * hr[cc]
+        acc_i = acc_i + w * hi[cc]
+    or_ref[:] = or_ref[:] + acc_r
+    oi_ref[:] = oi_ref[:] + acc_i
 
 
 def fused_gain(
@@ -230,34 +251,47 @@ def fused_gain(
     f_hat,  # (N, N, N) complex full spectrum
     dft_inv, dft_fwd,  # (2, N, N) stacked re/im transform matrices
     norm_l,  # (N, N, N) mode norms
-    *, length, b_gamma,
+    *, length, b_gamma, nodes_per_step: int = 8,
 ):
     """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
 
-    Returns the (N, N, N) complex gain spectrum.  One grid step per node;
-    everything except the initial f_hat read and the output accumulation stays
-    in VMEM.
+    Returns the (N, N, N) complex gain spectrum.  ``nodes_per_step`` nodes are
+    processed per grid step (amortizing per-step overheads and fattening the
+    MXU matmuls); everything except the initial f_hat read and the output
+    accumulation stays in VMEM.
     """
     b, n = ax.shape
+    c = min(nodes_per_step, b)
+    if b % c:
+        pad = c - b % c
+        one = jnp.ones((pad, n), ax.dtype)
+        ax = jnp.concatenate([ax, one])
+        ay = jnp.concatenate([ay, one])
+        az = jnp.concatenate([az, one])
+        rho = jnp.concatenate([rho, jnp.ones((pad,), rho.dtype)])
+        gain_w = jnp.concatenate([gain_w, jnp.zeros((pad,), gain_w.dtype)])
+        b += pad
+
     dt = jnp.float32 if f_hat.dtype == jnp.complex64 else jnp.float64
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    node = lambda: pl.BlockSpec((c, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
 
     eps = float(np.finfo(dt).eps)
     kernel = partial(
         _fused_gain_kernel,
         n=n,
+        c=c,
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
         eps=eps,
     )
     out_r, out_i = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // c,),
         in_specs=[
             smem(), smem(),
-            full((b, n)), full((b, n)), full((b, n)), full((b, n)),
-            full((b, n)), full((b, n)),
+            node(), node(), node(), node(), node(), node(),
             full((n, n, n)), full((n, n, n)),
             full((n, n)), full((n, n)), full((n, n)), full((n, n)),
             full((n, n, n)),
