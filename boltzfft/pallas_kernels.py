@@ -261,7 +261,12 @@ def fused_gain(
     accumulation stays in VMEM.
     """
     b, n = ax.shape
-    c = min(nodes_per_step, b)
+    # VMEM budget: the kernel keeps ~16 (C, N^3) f32 planes live at peak
+    # (g1/g2/h + transform temps).  Cap C so the working set fits the raised
+    # Mosaic limit below.
+    vmem_budget = 56 << 20
+    c_cap = max(1, vmem_budget // (16 * n * n * n * 4))
+    c = min(nodes_per_step, c_cap, b)
     if b % c:
         pad = c - b % c
         one = jnp.ones((pad, n), ax.dtype)
@@ -298,6 +303,7 @@ def fused_gain(
         ],
         out_specs=[full((n, n, n)), full((n, n, n))],
         out_shape=[jax.ShapeDtypeStruct((n, n, n), dt)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=_interpret(),
     )(
         rho.astype(dt), gain_w.astype(dt),
