@@ -196,6 +196,91 @@ def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None):
     return jnp.transpose(tr, rot_bwd), jnp.transpose(ti, rot_bwd)
 
 
+def _fused_gain_kron_kernel(
+    rho_ref, gw_ref,
+    axr_ref, axi_ref, ayzr_ref, ayzi_ref,
+    fr_ref, fi_ref, vr_ref, vi_ref, fwr_ref, fwi_ref, kr_ref, ki_ref, nl_ref,
+    or_ref, oi_ref,
+    g1r_s, g1i_s, g2r_s, g2i_s,
+    *, n, c, coef, amp, eps,
+):
+    """Transpose-free scheme: tensors live as (C, N, N^2) with (j,k) fused on
+    the lane axis.  The y/z transform is ONE right-multiply by the shared
+    Kronecker matrix Vyz = V (x) V — contraction depth N^2 keeps the MXU tiles
+    completely full — and the x transform is a per-node left-multiply with the
+    alpha_x phase folded into the (N, N) matrix.  No vector transposes or
+    lane-crossing reshapes anywhere.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        or_ref[:] = jnp.zeros_like(or_ref)
+        oi_ref[:] = jnp.zeros_like(oi_ref)
+
+    fr, fi = fr_ref[:], fi_ref[:]  # (N, N^2) f_hat planes
+    vr, vi = vr_ref[:], vi_ref[:]
+    kr, ki = kr_ref[:], ki_ref[:]  # (N^2, N^2) kron(Vinv, Vinv), symmetric
+
+    def cmm(ar, ai, br, bi):  # Karatsuba complex matmul of 2-D values
+        pe = ar.dtype
+        p1 = jnp.dot(ar, br, preferred_element_type=pe)
+        p2 = jnp.dot(ai, bi, preferred_element_type=pe)
+        p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=pe)
+        return p1 - p2, p3 - p1 - p2
+
+    def inverse(sign, out_r, out_i):
+        # t = (ayz^sign) * f_hat, lane-phase per node
+        pr = ayzr_ref[:].reshape(c, 1, n * n)
+        pi = sign * ayzi_ref[:].reshape(c, 1, n * n)
+        tr = fr * pr - fi * pi  # (C, N, N^2)
+        ti = fr * pi + fi * pr
+        # y/z axes: one shared full-depth Kron matmul (K symmetric)
+        tr2, ti2 = cmm(tr.reshape(c * n, n * n), ti.reshape(c * n, n * n), kr, ki)
+        tr2 = tr2.reshape(c, n, n * n)
+        ti2 = ti2.reshape(c, n, n * n)
+        # x axis: per-node left-multiply, alpha_x folded into the matrix
+        for cc in range(c):
+            mxr = vr * axr_ref[cc, :] - vi * (sign * axi_ref[cc, :])
+            mxi = vr * (sign * axi_ref[cc, :]) + vi * axr_ref[cc, :]
+            rr, ii = cmm(mxr, mxi, tr2[cc], ti2[cc])
+            out_r[cc] = rr
+            out_i[cc] = ii
+
+    inverse(1.0, g1r_s, g1i_s)
+    inverse(-1.0, g2r_s, g2i_s)
+
+    hr = g1r_s[:] * g2r_s[:] - g1i_s[:] * g2i_s[:]
+    hi = g1r_s[:] * g2i_s[:] + g1i_s[:] * g2r_s[:]
+
+    # forward transform: x axis with the shared F matrix, then y/z via the
+    # conjugate-scaled Kron table (F (x) F = N^2 conj(K))
+    fwr, fwi = fwr_ref[:], fwi_ref[:]
+    for cc in range(c):
+        rr, ii = cmm(fwr, fwi, hr[cc], hi[cc])
+        g1r_s[cc] = rr
+        g1i_s[cc] = ii
+    n2 = float(n * n)
+    hr2, hi2 = cmm(
+        g1r_s[:].reshape(c * n, n * n), g1i_s[:].reshape(c * n, n * n),
+        n2 * kr, -n2 * ki,
+    )
+    hr2 = hr2.reshape(c, n, n * n)
+    hi2 = hi2.reshape(c, n, n * n)
+
+    nl = nl_ref[:]
+    acc_r = jnp.zeros_like(nl)
+    acc_i = jnp.zeros_like(nl)
+    base = i * c
+    for cc in range(c):
+        arg = (coef * rho_ref[base + cc]) * nl + eps
+        w = (amp * gw_ref[base + cc]) * jnp.sin(arg) / arg
+        acc_r = acc_r + w * hr2[cc]
+        acc_i = acc_i + w * hi2[cc]
+    or_ref[:] = or_ref[:] + acc_r
+    oi_ref[:] = oi_ref[:] + acc_i
+
+
 def _fused_gain_kernel(
     rho_ref, gw_ref,
     axr_ref, axi_ref, ayr_ref, ayi_ref, azr_ref, azi_ref,
@@ -251,22 +336,33 @@ def fused_gain(
     f_hat,  # (N, N, N) complex full spectrum
     dft_inv, dft_fwd,  # (2, N, N) stacked re/im transform matrices
     norm_l,  # (N, N, N) mode norms
-    *, length, b_gamma, nodes_per_step: int = 8,
+    *, length, b_gamma, nodes_per_step: int = 8, scheme: str = "auto",
 ):
     """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
 
     Returns the (N, N, N) complex gain spectrum.  ``nodes_per_step`` nodes are
-    processed per grid step (amortizing per-step overheads and fattening the
-    MXU matmuls); everything except the initial f_hat read and the output
-    accumulation stays in VMEM.
+    processed per grid step; everything except the initial f_hat read and the
+    output accumulation stays in VMEM.  ``scheme``:
+
+    * ``"kron"`` — transpose-free, MXU-saturating (the y/z transform is one
+      (N^2)-deep Kron matmul); needs an (N^2, N^2) table in VMEM, so N <= 32.
+    * ``"transpose"`` — tall (N^2, N)-matmul per axis with vector transposes;
+      works at any N.
+    * ``"auto"`` — kron when it fits, else transpose.
     """
     b, n = ax.shape
-    # VMEM budget: the kernel keeps ~16 (C, N^3) f32 planes live at peak
-    # (g1/g2/h + transform temps).  Cap C so the working set fits the raised
-    # Mosaic limit below.
+    if scheme == "auto":
+        scheme = "kron" if n <= 32 else "transpose"
+
+    # VMEM cap: the kernel keeps ~16 (C, N^3) f32 planes live at peak
+    # (g1/g2/h + transform temps), plus the 2*(N^2)^2 Kron table.
     vmem_budget = 56 << 20
+    if scheme == "kron":
+        vmem_budget -= 2 * (n * n) * (n * n) * 4
     c_cap = max(1, vmem_budget // (16 * n * n * n * 4))
     c = min(nodes_per_step, c_cap, b)
+    if scheme == "kron" and c >= 8:
+        c = (c // 8) * 8  # (C, N^2) block sublanes must be a multiple of 8
     if b % c:
         pad = c - b % c
         one = jnp.ones((pad, n), ax.dtype)
@@ -279,31 +375,67 @@ def fused_gain(
 
     dt = jnp.float32 if f_hat.dtype == jnp.complex64 else jnp.float64
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    node = lambda: pl.BlockSpec((c, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    nodeb = lambda w: pl.BlockSpec((c, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
 
     eps = float(np.finfo(dt).eps)
-    kernel = partial(
-        _fused_gain_kernel,
-        n=n,
-        c=c,
+    common = dict(
+        n=n, c=c,
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
         eps=eps,
     )
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 << 20)
+
+    if scheme == "kron":
+        # combined (j, k) lane phases and the shared Kron transform table
+        ayz = ay[:, :, None] * az[:, None, :]
+        vr, vi = dft_inv[0].astype(dt), dft_inv[1].astype(dt)
+        kr = jnp.kron(vr, vr) - jnp.kron(vi, vi)
+        ki = jnp.kron(vr, vi) + jnp.kron(vi, vr)
+        out_r, out_i = pl.pallas_call(
+            partial(_fused_gain_kron_kernel, **common),
+            grid=(b // c,),
+            in_specs=[
+                smem(), smem(),
+                nodeb(n), nodeb(n), nodeb(n * n), nodeb(n * n),
+                full((n, n * n)), full((n, n * n)),
+                full((n, n)), full((n, n)), full((n, n)), full((n, n)),
+                full((n * n, n * n)), full((n * n, n * n)),
+                full((n, n * n)),
+            ],
+            out_specs=[full((n, n * n)), full((n, n * n))],
+            out_shape=[jax.ShapeDtypeStruct((n, n * n), dt)] * 2,
+            scratch_shapes=[pltpu.VMEM((c, n, n * n), dt)] * 4,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(
+            rho.astype(dt), gain_w.astype(dt),
+            jnp.real(ax).astype(dt), jnp.imag(ax).astype(dt),
+            jnp.real(ayz).reshape(b, n * n).astype(dt),
+            jnp.imag(ayz).reshape(b, n * n).astype(dt),
+            jnp.real(f_hat).reshape(n, n * n).astype(dt),
+            jnp.imag(f_hat).reshape(n, n * n).astype(dt),
+            vr, vi,
+            dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
+            kr, ki,
+            norm_l.reshape(n, n * n).astype(dt),
+        )
+        return (out_r + 1j * out_i).reshape(n, n, n)
+
     out_r, out_i = pl.pallas_call(
-        kernel,
+        partial(_fused_gain_kernel, **common),
         grid=(b // c,),
         in_specs=[
             smem(), smem(),
-            node(), node(), node(), node(), node(), node(),
+            nodeb(n), nodeb(n), nodeb(n), nodeb(n), nodeb(n), nodeb(n),
             full((n, n, n)), full((n, n, n)),
             full((n, n)), full((n, n)), full((n, n)), full((n, n)),
             full((n, n, n)),
         ],
         out_specs=[full((n, n, n)), full((n, n, n))],
         out_shape=[jax.ShapeDtypeStruct((n, n, n), dt)] * 2,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        compiler_params=params,
         interpret=_interpret(),
     )(
         rho.astype(dt), gain_w.astype(dt),
