@@ -217,6 +217,8 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
             pre.rho, pre.gain_w, ax, ay, az, f_hat,
             pre.dft_inv, pre.dft_fwd, pre.norm_l,
             length=cfg.domain_length, b_gamma=cfg.b_gamma,
+            nodes_per_step=cfg.fused_nodes_per_step,
+            radial_group=cfg.ns,
         ).astype(cfg.complex_dtype)
 
     b = pre.rho.shape[0]

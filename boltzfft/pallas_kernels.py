@@ -202,14 +202,15 @@ def _fused_gain_kron_kernel(
     fr_ref, fi_ref, vr_ref, vi_ref, fwr_ref, fwi_ref, kr_ref, ki_ref, nl_ref,
     or_ref, oi_ref,
     g1r_s, g1i_s, g2r_s, g2i_s,
-    *, n, c, coef, amp, eps,
+    *, n, c, gs, coef, amp, eps,
 ):
     """Transpose-free scheme: tensors live as (C, N, N^2) with (j,k) fused on
     the lane axis.  The y/z transform is ONE right-multiply by the shared
     Kronecker matrix Vyz = V (x) V — contraction depth N^2 keeps the MXU tiles
     completely full — and the x transform is a per-node left-multiply with the
     alpha_x phase folded into the (N, N) matrix.  No vector transposes or
-    lane-crossing reshapes anywhere.
+    lane-crossing reshapes anywhere.  ``gs`` nodes share a radial quadrature
+    point and get one forward transform (see the group-sum hoisting below).
     """
     i = pl.program_id(0)
 
@@ -253,30 +254,34 @@ def _fused_gain_kron_kernel(
     hr = g1r_s[:] * g2r_s[:] - g1i_s[:] * g2i_s[:]
     hi = g1r_s[:] * g2i_s[:] + g1i_s[:] * g2r_s[:]
 
-    # forward transform: x axis with the shared F matrix, then y/z via the
-    # conjugate-scaled Kron table (F (x) F = N^2 conj(K))
+    # beta1 depends only on the radial node, so nodes sharing rho (the
+    # spherical-design members of one radial group) are gw-weighted and
+    # *summed before* the forward transform — one forward DFT per group
+    # instead of per node (FFTWBoltzmannOperator.cpp:252-273 does this
+    # weighting per node inside the atomics loop; linearity makes the
+    # hoisting exact).
+    base = i * c
+    n_groups = c // gs
     fwr, fwi = fwr_ref[:], fwi_ref[:]
-    for cc in range(c):
-        rr, ii = cmm(fwr, fwi, hr[cc], hi[cc])
-        g1r_s[cc] = rr
-        g1i_s[cc] = ii
     n2 = float(n * n)
-    hr2, hi2 = cmm(
-        g1r_s[:].reshape(c * n, n * n), g1i_s[:].reshape(c * n, n * n),
-        n2 * kr, -n2 * ki,
-    )
-    hr2 = hr2.reshape(c, n, n * n)
-    hi2 = hi2.reshape(c, n, n * n)
-
     nl = nl_ref[:]
     acc_r = jnp.zeros_like(nl)
     acc_i = jnp.zeros_like(nl)
-    base = i * c
-    for cc in range(c):
-        arg = (coef * rho_ref[base + cc]) * nl + eps
-        w = (amp * gw_ref[base + cc]) * jnp.sin(arg) / arg
-        acc_r = acc_r + w * hr2[cc]
-        acc_i = acc_i + w * hi2[cc]
+    for g in range(n_groups):
+        sr = jnp.zeros((n, n * n), hr.dtype)
+        si = jnp.zeros((n, n * n), hi.dtype)
+        for cc in range(g * gs, (g + 1) * gs):
+            w = gw_ref[base + cc]
+            sr = sr + w * hr[cc]
+            si = si + w * hi[cc]
+        # forward transform of the group sum: x axis with the shared F
+        # matrix, then y/z via the conjugate-scaled Kron (F (x) F = N^2 conj K)
+        sr, si = cmm(fwr, fwi, sr, si)
+        sr, si = cmm(sr, si, n2 * kr, -n2 * ki)
+        arg = (coef * rho_ref[base + g * gs]) * nl + eps
+        beta1 = amp * jnp.sin(arg) / arg
+        acc_r = acc_r + beta1 * sr
+        acc_i = acc_i + beta1 * si
     or_ref[:] = or_ref[:] + acc_r
     oi_ref[:] = oi_ref[:] + acc_i
 
@@ -337,6 +342,7 @@ def fused_gain(
     dft_inv, dft_fwd,  # (2, N, N) stacked re/im transform matrices
     norm_l,  # (N, N, N) mode norms
     *, length, b_gamma, nodes_per_step: int = 8, scheme: str = "auto",
+    radial_group: int = 1,
 ):
     """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
 
@@ -378,6 +384,10 @@ def fused_gain(
     nodeb = lambda w: pl.BlockSpec((c, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
 
+    # Nodes sharing a radial quadrature point get one forward transform; a
+    # grid step covers whole sub-groups when gs | radial_group and gs | c.
+    gs = math.gcd(max(radial_group, 1), c)
+
     eps = float(np.finfo(dt).eps)
     common = dict(
         n=n, c=c,
@@ -394,7 +404,7 @@ def fused_gain(
         kr = jnp.kron(vr, vr) - jnp.kron(vi, vi)
         ki = jnp.kron(vr, vi) + jnp.kron(vi, vr)
         out_r, out_i = pl.pallas_call(
-            partial(_fused_gain_kron_kernel, **common),
+            partial(_fused_gain_kron_kernel, gs=gs, **common),
             grid=(b // c,),
             in_specs=[
                 smem(), smem(),
