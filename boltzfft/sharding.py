@@ -66,8 +66,10 @@ def _node_sharded_precomp(cfg: CollisionConfig, n_shards: int) -> Precomp:
     return repad_nodes(pre, n_shards * local)
 
 
-def _precomp_specs(node_axis: Optional[str]) -> Precomp:
-    """PartitionSpecs for each Precomp leaf (node arrays sharded, rest replicated)."""
+def _precomp_specs(node_axis: Optional[str], pre: Precomp) -> Precomp:
+    """PartitionSpecs for each Precomp leaf (node arrays sharded, rest
+    replicated); optional fields mirror ``pre``'s presence."""
+    rep3 = P(None, None, None)
     return Precomp(
         rho=P(node_axis),
         sigma=P(node_axis, None),
@@ -75,8 +77,10 @@ def _precomp_specs(node_axis: Optional[str]) -> Precomp:
         lx=P(None),
         ly=P(None),
         lz=P(None),
-        norm_l=P(None, None, None),
-        beta2=P(None, None, None),
+        norm_l=rep3,
+        beta2=rep3,
+        dft_fwd=None if pre.dft_fwd is None else rep3,
+        dft_inv=None if pre.dft_inv is None else rep3,
     )
 
 
@@ -118,8 +122,11 @@ def make_sharded_collision_operator(
     sharded = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(f_spec, _precomp_specs(node_axis)),
+        in_specs=(f_spec, _precomp_specs(node_axis, pre)),
         out_specs=f_spec,
+        # vma inference cannot see through pallas_call outputs (impl="fused");
+        # the node-axis psum placement is explicit in `body`.
+        check_vma=False,
     )
 
     def collide_fn(f, precomp):
@@ -135,7 +142,7 @@ def place(
 ) -> Precomp:
     """Device-put Precomp leaves with their intended shardings (avoids a
     resharding transfer on first call)."""
-    specs = _precomp_specs(node_axis)
+    specs = _precomp_specs(node_axis, pre)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, jax.sharding.NamedSharding(mesh, s)),
         pre,

@@ -59,7 +59,7 @@ class CollisionConfig:
     impl: str = "rfft"
     node_chunk: Optional[int] = None  # nodes per scan step; None = whole batch
     use_pallas: bool = False  # fuse alpha-multiply + gain-reduce via Pallas (rfft only)
-    fused_nodes_per_step: int = 8  # impl="fused": nodes per megakernel grid step
+    fused_nodes_per_step: int = 24  # impl="fused": nodes per megakernel grid step
 
     def __post_init__(self):
         if self.impl not in ("rfft", "c2c", "dft", "fused"):

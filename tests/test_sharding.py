@@ -36,6 +36,19 @@ class TestNodeSharding:
         scale = np.abs(q_ref).max()
         np.testing.assert_allclose(q_sh, q_ref, atol=1e-13 * scale)
 
+    def test_fused_impl_shards(self):
+        # the Pallas megakernel composes with shard_map (local node shards)
+        cfg, f = _setup()
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused")
+        coll_ref, pre_ref = bz.make_collision_operator(
+            bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        )
+        q_ref = np.asarray(coll_ref(f, pre_ref))
+        mesh = bz.make_mesh([(bz.NODE_AXIS, 4)])
+        coll_sh, pre_sh = bz.make_sharded_collision_operator(cfg, mesh)
+        q_sh = np.asarray(coll_sh(f, bz.place(pre_sh, mesh)))
+        np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * np.abs(q_ref).max())
+
     def test_uneven_node_count_pads(self):
         # B = 16*6 = 96 doesn't divide 5-chunking x 8 shards without padding.
         cfg, f = _setup(node_chunk=5)
