@@ -26,8 +26,9 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
         help="compute dtype (default: float64 if the backend supports it)",
     )
     p.add_argument(
-        "--impl", choices=["rfft", "c2c"], default="rfft",
-        help="transform pipeline: real-optimized (default) or reference-faithful c2c",
+        "--impl", choices=["rfft", "c2c", "dft", "fused"], default="rfft",
+        help="pipeline: rfft (real transforms, default), c2c (reference-"
+             "faithful), dft (MXU einsums), fused (Pallas megakernel)",
     )
     p.add_argument(
         "--node-chunk", type=int, default=None,
