@@ -358,7 +358,14 @@ def fused_gain(
     """
     b, n = ax.shape
     if scheme == "auto":
-        scheme = "kron" if n <= 32 else "transpose"
+        if n > 32:
+            raise ValueError(
+                f"impl='fused' supports nv <= 32 (the N^2 x N^2 Kron transform"
+                f" table would need {2 * (n * n) ** 2 * 4 >> 20} MB of VMEM and"
+                f" the transpose fallback compiles pathologically at this size);"
+                f" use impl='rfft' for nv={n}"
+            )
+        scheme = "kron"
 
     # VMEM cap: the kernel keeps ~16 (C, N^3) f32 planes live at peak
     # (g1/g2/h + transform temps), plus the 2*(N^2)^2 Kron table.

@@ -102,6 +102,16 @@ class TestCrossImplementationParity:
         np.testing.assert_allclose(q, q_direct, atol=1e-13 * scale)
 
 
+class TestFusedLimits:
+    def test_fused_rejects_large_grids(self):
+        # impl='fused' is gated to nv <= 32 (Kron table VMEM footprint)
+        cfg = bz.CollisionConfig(nv=64, ns=6, n_radial=4, impl="fused")
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        f = bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)
+        with pytest.raises(ValueError, match="impl='fused' supports nv <= 32"):
+            coll(f, pre)
+
+
 class TestChunking:
     @pytest.mark.parametrize("chunk", [1, 5, 12, 36, None])
     @pytest.mark.parametrize("impl", ["rfft", "dft"])
