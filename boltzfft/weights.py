@@ -105,7 +105,7 @@ class CollisionConfig:
         c = self.node_chunk if self.node_chunk is not None else self.auto_chunk()
         return max(1, min(c, self.n_nodes))
 
-    def auto_chunk(self, budget_bytes: int = 8 << 30) -> int:
+    def auto_chunk(self, budget_bytes: int = 6 << 30) -> int:
         """Node-chunk size whose working set fits the HBM budget.
 
         The per-chunk working set is ~6 complex mode-grid arrays (alpha1*f_hat,
@@ -119,7 +119,8 @@ class CollisionConfig:
             self.nv // 2 + 1 if self.impl == "rfft" else self.nv
         )
         itemsize = 16 if self.dtype == "float64" else 8
-        per_node = 6 * n_modes * itemsize
+        # ~6 pipeline arrays plus ~3 equivalents of XLA FFT workspace
+        per_node = 9 * n_modes * itemsize
         cap = max(1, budget_bytes // per_node)
         if cap >= self.n_nodes:
             return self.n_nodes
