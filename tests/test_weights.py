@@ -1,0 +1,73 @@
+"""Config/precompute invariants: chunking, padding, weight identities."""
+
+import numpy as np
+import pytest
+
+import boltzfft as bz
+from boltzfft.weights import build_precomp, repad_nodes
+
+
+class TestAutoChunk:
+    def test_small_configs_unchunked(self):
+        cfg = bz.CollisionConfig(nv=16, ns=6, dtype="float32")
+        assert cfg.chunk == cfg.n_nodes and cfg.n_chunks == 1
+
+    def test_large_configs_chunked_evenly(self):
+        cfg = bz.CollisionConfig(nv=64, ns=32, dtype="float32")
+        assert cfg.n_chunks > 1
+        # equalized chunks: padded total close to B
+        assert cfg.n_nodes_padded - cfg.n_nodes < cfg.chunk
+
+    def test_explicit_chunk_respected(self):
+        cfg = bz.CollisionConfig(nv=32, ns=12, node_chunk=96)
+        assert cfg.chunk == 96 and cfg.n_chunks == 4
+
+    def test_chunk_never_exceeds_batch(self):
+        cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=10_000)
+        assert cfg.chunk == cfg.n_nodes
+
+
+class TestPrecomp:
+    def test_padded_nodes_have_zero_weight(self):
+        cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=5)  # B=96 -> pad to 100
+        pre = build_precomp(cfg)
+        assert pre.rho.shape[0] == cfg.n_nodes_padded
+        np.testing.assert_array_equal(
+            np.asarray(pre.gain_w[cfg.n_nodes :]), 0.0
+        )
+
+    def test_gain_weight_identity(self):
+        # gain_w[b] = w_gl[r] * w_sph[s] * rho_r^(gamma+2)
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, gamma=1.0)
+        pre = build_precomp(cfg)
+        gl = bz.gauss_legendre(4, 0.0, cfg.r_max)
+        sph = bz.spherical_design(6)
+        expect = np.repeat(gl.weights * gl.nodes**3.0, 6) * np.tile(sph.weights, 4)
+        np.testing.assert_allclose(np.asarray(pre.gain_w), expect, rtol=1e-14)
+
+    def test_beta2_positive_at_origin(self):
+        # beta2(0) = 16 pi^2 b_gamma sum w_r rho^2 sincc(0) > 0
+        cfg = bz.CollisionConfig(nv=8, ns=6)
+        pre = build_precomp(cfg)
+        assert float(pre.beta2[0, 0, 0]) > 0
+
+    def test_repad_nodes(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6)
+        pre = build_precomp(cfg)
+        b = pre.rho.shape[0]
+        pre2 = repad_nodes(pre, b + 7)
+        assert pre2.rho.shape[0] == b + 7
+        np.testing.assert_array_equal(np.asarray(pre2.gain_w[b:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(pre2.rho[:b]), np.asarray(pre.rho))
+        with pytest.raises(ValueError):
+            repad_nodes(pre, b - 1)
+        assert repad_nodes(pre, b) is pre
+
+    def test_rfft_vs_c2c_mode_tables(self):
+        pre_r = build_precomp(bz.CollisionConfig(nv=8, ns=6, impl="rfft"))
+        pre_c = build_precomp(bz.CollisionConfig(nv=8, ns=6, impl="c2c"))
+        assert pre_r.lz.shape[0] == 5 and pre_c.lz.shape[0] == 8
+        # half-axis beta2 equals the corresponding slice of the full table
+        np.testing.assert_allclose(
+            np.asarray(pre_r.beta2), np.asarray(pre_c.beta2[:, :, :5]), rtol=1e-14
+        )
