@@ -60,6 +60,11 @@ def _node_sharded_precomp(cfg: CollisionConfig, n_shards: int) -> Precomp:
     """Precomp whose node axis divides evenly into ``n_shards`` x chunks."""
     pre = build_precomp(cfg)
     local = -(-cfg.n_nodes // n_shards)
+    if cfg.impl == "fused":
+        # The megakernel's radial-group hoisting assumes every group of
+        # consecutive nodes shares one rho; shard boundaries must therefore
+        # fall on whole spherical-design groups.
+        local = -(-local // cfg.ns) * cfg.ns
     if cfg.node_chunk is not None:
         c = cfg.chunk
         local = -(-local // c) * c

@@ -49,6 +49,23 @@ class TestNodeSharding:
         q_sh = np.asarray(coll_sh(f, bz.place(pre_sh, mesh)))
         np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * np.abs(q_ref).max())
 
+    def test_fused_radial_group_alignment(self):
+        # Regression: with 5 shards, ceil(192/5)=39 nodes/shard would split
+        # ss005.012 radial groups across shards — the megakernel's hoisted
+        # beta1 would then use the wrong rho for mixed groups.  Shard sizing
+        # must round up to whole spherical-design groups.
+        cfg = bz.CollisionConfig(nv=16, ns=12, impl="fused")
+        f = bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)
+        coll_ref, pre_ref = bz.make_collision_operator(
+            bz.CollisionConfig(nv=16, ns=12, impl="c2c")
+        )
+        q_ref = np.asarray(coll_ref(f, pre_ref))
+        mesh = bz.make_mesh([(bz.NODE_AXIS, 5)])
+        coll_sh, pre_sh = bz.make_sharded_collision_operator(cfg, mesh)
+        assert pre_sh.rho.shape[0] % (5 * cfg.ns) == 0
+        q_sh = np.asarray(coll_sh(f, pre_sh))
+        np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * np.abs(q_ref).max())
+
     def test_uneven_node_count_pads(self):
         # B = 16*6 = 96 doesn't divide 5-chunking x 8 shards without padding.
         cfg, f = _setup(node_chunk=5)
