@@ -102,6 +102,21 @@ class TestCrossImplementationParity:
         np.testing.assert_allclose(q, q_direct, atol=1e-13 * scale)
 
 
+class TestFusedGrouping:
+    def test_partial_radial_groups(self):
+        # ns=32 with 24 nodes/step -> group size gcd(32,24)=8: the kernel sums
+        # partial radial groups across steps; must still match c2c exactly.
+        cfg = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="fused",
+                                 fused_nodes_per_step=24)
+        cfg_c = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="c2c")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(f, pre))
+        qc = np.asarray(coll_c(f, pre_c))
+        np.testing.assert_allclose(q, qc, atol=1e-12 * np.abs(qc).max())
+
+
 class TestFusedLimits:
     def test_fused_rejects_large_grids(self):
         # impl='fused' is gated to nv <= 32 (Kron table VMEM footprint)
