@@ -290,8 +290,13 @@ def _fused_gain_kernel(
     rho_ref, gw_ref,
     axr_ref, axi_ref, ayr_ref, ayi_ref, azr_ref, azi_ref,
     fr_ref, fi_ref, vr_ref, vi_ref, wr_ref, wi_ref, nl_ref,
-    or_ref, oi_ref, *, n, c, coef, amp, eps,
+    or_ref, oi_ref, *, n, c, gs, coef, amp, eps,
 ):
+    """Transpose-scheme variant for grids where the Kron table does not fit
+    VMEM (N > 32).  Nodes are processed one at a time inside the step (the
+    phase tables live whole in VMEM and are row-indexed — (C, N) blocks would
+    violate Mosaic's sublane rules for small C), with the same radial-group
+    forward hoisting as the Kron kernel."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -299,38 +304,34 @@ def _fused_gain_kernel(
         or_ref[:] = jnp.zeros_like(or_ref)
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
-    # broadcast the shared f_hat over the C nodes of this step
-    fr = jnp.broadcast_to(fr_ref[:][None], (c, n, n, n))
-    fi = jnp.broadcast_to(fi_ref[:][None], (c, n, n, n))
-    axr, axi = axr_ref[:], axi_ref[:]  # (C, N) per-node phase factors
-    ayr, ayi = ayr_ref[:], ayi_ref[:]
-    azr, azi = azr_ref[:], azi_ref[:]
-
+    fr, fi = fr_ref[:], fi_ref[:]  # (N, N, N) f_hat planes
     vr, vi = vr_ref[:], vi_ref[:]
-    # g1 = IFFT(alpha1 f_hat), g2 = IFFT(conj(alpha1) f_hat); the separable
-    # phases are fused into the per-axis transform steps.
-    g1r, g1i = _dft3(
-        n, vr, vi, fr, fi, px=(axr, axi), py=(ayr, ayi), pz=(azr, azi)
-    )
-    g2r, g2i = _dft3(
-        n, vr, vi, fr, fi, px=(axr, -axi), py=(ayr, -ayi), pz=(azr, -azi)
-    )
-
-    hr = g1r * g2r - g1i * g2i
-    hi = g1r * g2i + g1i * g2r
-
-    hr, hi = _dft3(n, wr_ref[:], wi_ref[:], hr, hi)
-
-    # weighted accumulation over the C nodes (beta1 in-register)
     nl = nl_ref[:]
+    base = i * c
     acc_r = jnp.zeros_like(nl)
     acc_i = jnp.zeros_like(nl)
-    base = i * c
-    for cc in range(c):
-        arg = (coef * rho_ref[base + cc]) * nl + eps
-        w = (amp * gw_ref[base + cc]) * jnp.sin(arg) / arg
-        acc_r = acc_r + w * hr[cc]
-        acc_i = acc_i + w * hi[cc]
+    for g in range(c // gs):
+        sr = jnp.zeros_like(nl)
+        si = jnp.zeros_like(nl)
+        for cc in range(g * gs, (g + 1) * gs):
+            idx = base + cc
+            ax = (axr_ref[idx, :], axi_ref[idx, :])
+            ay = (ayr_ref[idx, :], ayi_ref[idx, :])
+            az = (azr_ref[idx, :], azi_ref[idx, :])
+            g1r, g1i = _dft3(n, vr, vi, fr, fi, px=ax, py=ay, pz=az)
+            g2r, g2i = _dft3(
+                n, vr, vi, fr, fi,
+                px=(ax[0], -ax[1]), py=(ay[0], -ay[1]), pz=(az[0], -az[1]),
+            )
+            w = gw_ref[idx]
+            sr = sr + w * (g1r * g2r - g1i * g2i)
+            si = si + w * (g1r * g2i + g1i * g2r)
+        # one forward transform per radial group (beta1 depends only on rho)
+        sr, si = _dft3(n, wr_ref[:], wi_ref[:], sr, si)
+        arg = (coef * rho_ref[base + g * gs]) * nl + eps
+        beta1 = amp * jnp.sin(arg) / arg
+        acc_r = acc_r + beta1 * sr
+        acc_i = acc_i + beta1 * si
     or_ref[:] = or_ref[:] + acc_r
     oi_ref[:] = oi_ref[:] + acc_i
 
@@ -358,24 +359,21 @@ def fused_gain(
     """
     b, n = ax.shape
     if scheme == "auto":
-        if n > 32:
-            raise ValueError(
-                f"impl='fused' supports nv <= 32 (the N^2 x N^2 Kron transform"
-                f" table would need {2 * (n * n) ** 2 * 4 >> 20} MB of VMEM and"
-                f" the transpose fallback compiles pathologically at this size);"
-                f" use impl='rfft' for nv={n}"
-            )
-        scheme = "kron"
+        # the (N^2, N^2) Kron table fits VMEM only up to N=32
+        scheme = "kron" if n <= 32 else "transpose"
 
-    # VMEM cap: the kernel keeps ~16 (C, N^3) f32 planes live at peak
-    # (g1/g2/h + transform temps), plus the 2*(N^2)^2 Kron table.
-    vmem_budget = 56 << 20
     if scheme == "kron":
-        vmem_budget -= 2 * (n * n) * (n * n) * 4
-    c_cap = max(1, vmem_budget // (16 * n * n * n * 4))
-    c = min(nodes_per_step, c_cap, b)
-    if scheme == "kron" and c >= 8:
-        c = (c // 8) * 8  # (C, N^2) block sublanes must be a multiple of 8
+        # VMEM cap: the kernel keeps ~16 (C, N^3) f32 planes live at peak
+        # (g1/g2/h + transform temps), plus the 2*(N^2)^2 Kron table.
+        vmem_budget = (56 << 20) - 2 * (n * n) * (n * n) * 4
+        c_cap = max(1, vmem_budget // (16 * n * n * n * 4))
+        c = min(nodes_per_step, c_cap, b)
+        if c >= 8:
+            c = (c // 8) * 8  # (C, N^2) block sublanes must be a multiple of 8
+    else:
+        # per-node loop: VMEM footprint is c-independent; c only bounds the
+        # unrolled kernel size
+        c = min(nodes_per_step, b)
     if b % c:
         pad = c - b % c
         one = jnp.ones((pad, n), ax.dtype)
@@ -441,11 +439,12 @@ def fused_gain(
         return (out_r + 1j * out_i).reshape(n, n, n)
 
     out_r, out_i = pl.pallas_call(
-        partial(_fused_gain_kernel, **common),
+        partial(_fused_gain_kernel, gs=gs, **common),
         grid=(b // c,),
         in_specs=[
             smem(), smem(),
-            nodeb(n), nodeb(n), nodeb(n), nodeb(n), nodeb(n), nodeb(n),
+            full((b, n)), full((b, n)), full((b, n)), full((b, n)),
+            full((b, n)), full((b, n)),
             full((n, n, n)), full((n, n, n)),
             full((n, n)), full((n, n)), full((n, n)), full((n, n)),
             full((n, n, n)),

@@ -118,13 +118,40 @@ class TestFusedGrouping:
 
 
 class TestFusedLimits:
-    def test_fused_rejects_large_grids(self):
-        # impl='fused' is gated to nv <= 32 (Kron table VMEM footprint)
-        cfg = bz.CollisionConfig(nv=64, ns=6, n_radial=4, impl="fused")
-        coll, pre = bz.make_collision_operator(cfg, jit=False)
+    def test_transpose_scheme_parity(self):
+        # nv > 32 selects the per-node transpose scheme (the Kron table would
+        # not fit VMEM); verify that code path against c2c at a small size.
+        import jax
+
+        from boltzfft import pallas_kernels as pk
+        from boltzfft.operator import _alpha_factors
+
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="dft")
+        pre = bz.build_precomp(cfg)
         f = bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)
-        with pytest.raises(ValueError, match="impl='fused' supports nv <= 32"):
-            coll(f, pre)
+
+        def gain(fh, p):
+            ax, ay, az = _alpha_factors(cfg, p, p.rho, p.sigma)
+            return pk.fused_gain(
+                p.rho, p.gain_w, ax, ay, az, fh, p.dft_inv, p.dft_fwd,
+                p.norm_l, length=cfg.domain_length, b_gamma=cfg.b_gamma,
+                scheme="transpose", radial_group=cfg.ns,
+            )
+
+        import jax.numpy as jnp
+
+        fh = jnp.fft.fftn(jnp.asarray(f).astype(cfg.complex_dtype))
+        q_hat = jax.jit(gain)(fh, pre)
+
+        from boltzfft.operator import gain_spectrum
+
+        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        pre_c = bz.build_precomp(cfg_c)
+        q_hat_ref = gain_spectrum(cfg_c, pre_c, fh)
+        scale = float(jnp.abs(q_hat_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(q_hat), np.asarray(q_hat_ref), atol=1e-12 * scale
+        )
 
 
 class TestChunking:
