@@ -308,30 +308,35 @@ def _fused_gain_kernel(
     vr, vi = vr_ref[:], vi_ref[:]
     nl = nl_ref[:]
     base = i * c
-    acc_r = jnp.zeros_like(nl)
-    acc_i = jnp.zeros_like(nl)
-    for g in range(c // gs):
-        sr = jnp.zeros_like(nl)
-        si = jnp.zeros_like(nl)
-        for cc in range(g * gs, (g + 1) * gs):
-            idx = base + cc
-            ax = (axr_ref[idx, :], axi_ref[idx, :])
-            ay = (ayr_ref[idx, :], ayi_ref[idx, :])
-            az = (azr_ref[idx, :], azi_ref[idx, :])
-            g1r, g1i = _dft3(n, vr, vi, fr, fi, px=ax, py=ay, pz=az)
-            g2r, g2i = _dft3(
-                n, vr, vi, fr, fi,
-                px=(ax[0], -ax[1]), py=(ay[0], -ay[1]), pz=(az[0], -az[1]),
-            )
-            w = gw_ref[idx]
-            sr = sr + w * (g1r * g2r - g1i * g2i)
-            si = si + w * (g1r * g2i + g1i * g2r)
+    zero = jnp.zeros_like(nl)
+
+    # fori_loop (not unrolled python loops): the transform body is traced
+    # once, keeping Mosaic compile time independent of nodes-per-step.
+    def node_body(cc, s):
+        sr, si = s
+        idx = base + cc
+        ax = (axr_ref[idx, :], axi_ref[idx, :])
+        ay = (ayr_ref[idx, :], ayi_ref[idx, :])
+        az = (azr_ref[idx, :], azi_ref[idx, :])
+        g1r, g1i = _dft3(n, vr, vi, fr, fi, px=ax, py=ay, pz=az)
+        g2r, g2i = _dft3(
+            n, vr, vi, fr, fi,
+            px=(ax[0], -ax[1]), py=(ay[0], -ay[1]), pz=(az[0], -az[1]),
+        )
+        w = gw_ref[idx]
+        return (sr + w * (g1r * g2r - g1i * g2i),
+                si + w * (g1r * g2i + g1i * g2r))
+
+    def group_body(g, acc):
+        acc_r, acc_i = acc
+        sr, si = jax.lax.fori_loop(g * gs, (g + 1) * gs, node_body, (zero, zero))
         # one forward transform per radial group (beta1 depends only on rho)
         sr, si = _dft3(n, wr_ref[:], wi_ref[:], sr, si)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
         beta1 = amp * jnp.sin(arg) / arg
-        acc_r = acc_r + beta1 * sr
-        acc_i = acc_i + beta1 * si
+        return (acc_r + beta1 * sr, acc_i + beta1 * si)
+
+    acc_r, acc_i = jax.lax.fori_loop(0, c // gs, group_body, (zero, zero))
     or_ref[:] = or_ref[:] + acc_r
     oi_ref[:] = oi_ref[:] + acc_i
 
