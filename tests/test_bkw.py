@@ -48,6 +48,23 @@ class TestBKW:
         )
 
 
+class TestBatchedMoments:
+    def test_leading_ensemble_axis(self):
+        g = _grid(16)
+        f = bkw_f(g.r_squared(), 6.5)
+        batch = np.stack([f, 2.0 * f, 0.5 * f])
+        m = moments(batch, np.asarray(g.v), g.dv)
+        assert m.mass.shape == (3,)
+        assert m.momentum.shape == (3, 3)
+        np.testing.assert_allclose(
+            np.asarray(m.mass), np.asarray(m.mass[0]) * [1.0, 2.0, 0.5], rtol=1e-12
+        )
+        # temperature is intensive: scaling f leaves it unchanged
+        np.testing.assert_allclose(
+            np.asarray(m.temperature), np.asarray(m.temperature[0]), rtol=1e-12
+        )
+
+
 class TestGrid:
     def test_cell_centered(self):
         g = VelocityGrid(nv=32, length=10.0)

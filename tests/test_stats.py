@@ -31,6 +31,19 @@ class TestTimeFn:
         np.testing.assert_allclose(float(out), float(np.sum(np.arange(1000.0) ** 2)))
 
 
+class TestTrace:
+    def test_profiler_trace_writes(self, tmp_path):
+        import jax.numpy as jnp
+
+        from boltzfft import trace
+
+        with trace(str(tmp_path)):
+            float(jnp.sum(jnp.arange(64.0) ** 2))
+        # jax profiler lays down a plugins/ tree with trace events
+        produced = list(tmp_path.rglob("*"))
+        assert produced, "profiler trace produced no files"
+
+
 class TestErrorNorms:
     def test_reference_scaling(self):
         # L2 = sqrt(dv^3 * sum diff^2) — the reference's exact convention
