@@ -27,7 +27,7 @@ from .sharding import (
     place,
 )
 from .cache import enable_compilation_cache, load_precomp, save_precomp
-from .stats import RunStats, error_norms, time_fn, trace
+from .stats import RunStats, error_norms, error_norms_device, time_fn, trace
 from .timestepper import (
     Trajectory,
     euler_step,
@@ -71,6 +71,7 @@ __all__ = [
     "collide",
     "domain_from_support",
     "error_norms",
+    "error_norms_device",
     "gain_spectrum",
     "gauss_legendre",
     "make_collision_operator",

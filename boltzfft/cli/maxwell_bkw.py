@@ -67,8 +67,8 @@ def main(argv=None):
               f"(t {args.t0} -> {t_end}), compile+run {time.perf_counter()-t0:.3g}s")
         print(f"mass drift: {abs(mass - mass[0]).max():.3e}, "
               f"energy drift: {abs(np.asarray(traj.recorded.energy) - np.asarray(traj.recorded.energy)[0]).max():.3e}")
-        f_exact = bz.bkw_f(rsq, t_end)
-        err = bz.error_norms(np.asarray(traj.f), f_exact, g.dv)
+        f_exact = jnp.asarray(bz.bkw_f(rsq, t_end), cfg.real_dtype)
+        err = bz.error_norms_device(traj.f, f_exact, g.dv)
         print("Relaxation errors vs analytic BKW f(t_end):")
         print(f"L1 error: {err['L1']:.6g}")
         print(f"L2 error: {err['L2']:.6g}")
@@ -76,7 +76,8 @@ def main(argv=None):
         return 0
 
     f_dev = jnp.asarray(f_bkw, cfg.real_dtype)
-    q = np.asarray(collide(f_dev, pre))  # compile + first eval
+    q = collide(f_dev, pre)  # compile + first eval
+    float(jnp.sum(q))  # scalar device-to-host read = synchronization
     init_time = time.perf_counter() - t0
     print(f"Initialization time (s): {init_time:.6g} seconds")
 
@@ -84,11 +85,13 @@ def main(argv=None):
     for _ in range(args.trials):
         t0 = time.perf_counter()
         q = collide(f_dev, pre)
-        q = np.asarray(q)  # device-to-host read = synchronization
+        float(jnp.sum(q))
         times.append(time.perf_counter() - t0)
     print(bz.RunStats.from_times(times).summary(f"boltzfft/{args.impl}"))
 
-    err = bz.error_norms(q, q_bkw, g.dv)
+    # norms reduced on device — full-array reads are slow/unsupported on
+    # remote accelerators, and only three scalars are needed
+    err = bz.error_norms_device(q, jnp.asarray(q_bkw, cfg.real_dtype), g.dv)
     print("Approximation errors:")
     print(f"L1 error: {err['L1']:.6g}")
     print(f"L2 error: {err['L2']:.6g}")

@@ -118,3 +118,20 @@ def error_norms(q: np.ndarray, q_exact: np.ndarray, dv: float) -> dict[str, floa
         "L2": float(np.sqrt(dv**3 * (diff**2).sum())),
         "Linf": float(diff.max()),
     }
+
+
+def error_norms_device(q, q_exact, dv: float) -> dict[str, float]:
+    """Same norms reduced on the device; only three scalars cross to the host.
+
+    Use instead of :func:`error_norms` when the accelerator is remote —
+    full-array device-to-host reads are slow or unsupported there.
+    """
+    import jax.numpy as jnp
+
+    q = jnp.asarray(q)
+    diff = jnp.abs(q - jnp.asarray(q_exact, q.dtype))
+    return {
+        "L1": float(dv**3 * jnp.sum(diff)),
+        "L2": float(jnp.sqrt(dv**3 * jnp.sum(diff**2))),
+        "Linf": float(jnp.max(diff)),
+    }
