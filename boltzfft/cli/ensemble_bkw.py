@@ -57,10 +57,12 @@ def main(argv=None):
 
     g = cfg.velocity_grid
     rsq = g.r_squared()
-    # ensemble of BKW states at staggered times (independent distributions)
+    # ensemble of BKW states at staggered times (independent distributions),
+    # uploaded member-by-member (large single host->device transfers are slow
+    # or unsupported on remote accelerators)
     ts = 5.5 + 2.0 * np.arange(args.ensemble) / max(args.ensemble, 1)
-    f0 = jnp.asarray(
-        np.stack([bz.bkw_f(rsq, t) for t in ts]), cfg.real_dtype
+    f0 = jnp.stack(
+        [jnp.asarray(bz.bkw_f(rsq, t), cfg.real_dtype) for t in ts]
     )
     v = jnp.asarray(g.v, cfg.real_dtype)
 
