@@ -219,6 +219,7 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
             length=cfg.domain_length, b_gamma=cfg.b_gamma,
             nodes_per_step=cfg.fused_nodes_per_step,
             radial_group=cfg.ns,
+            precision=cfg.fused_precision,
         ).astype(cfg.complex_dtype)
 
     b = pre.rho.shape[0]

@@ -142,7 +142,7 @@ def gain_reduce(
 # --------------------------------------------------------------------------
 
 
-def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None):
+def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None, precision=None):
     """In-VMEM complex 3-D transform of (..., N, N, N) re/im planes with the
     shared (N, N) axis matrix (mr, mi), with optional per-axis diagonal phase
     factors fused in (``px``/``py``/``pz`` are ``(re, im)`` arrays broadcast
@@ -162,10 +162,10 @@ def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None):
     rot_bwd = (0, 3, 1, 2) if batched else (2, 0, 1)
 
     def cdot(ar, ai, br, bi):
-        pe = ar.dtype
-        p1 = jnp.dot(ar, br, preferred_element_type=pe)
-        p2 = jnp.dot(ai, bi, preferred_element_type=pe)
-        p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=pe)
+        dot = partial(jnp.dot, preferred_element_type=ar.dtype, precision=precision)
+        p1 = dot(ar, br)
+        p2 = dot(ai, bi)
+        p3 = dot(ar + ai, br + bi)
         return p1 - p2, p3 - p1 - p2
 
     mrt, mit = mr.T, mi.T
@@ -202,7 +202,7 @@ def _fused_gain_kron_kernel(
     fr_ref, fi_ref, vr_ref, vi_ref, fwr_ref, fwi_ref, kr_ref, ki_ref, nl_ref,
     or_ref, oi_ref,
     g1r_s, g1i_s, g2r_s, g2i_s,
-    *, n, c, gs, coef, amp, eps,
+    *, n, c, gs, coef, amp, eps, precision,
 ):
     """Transpose-free scheme: tensors live as (C, N, N^2) with (j,k) fused on
     the lane axis.  The y/z transform is ONE right-multiply by the shared
@@ -224,10 +224,10 @@ def _fused_gain_kron_kernel(
     kr, ki = kr_ref[:], ki_ref[:]  # (N^2, N^2) kron(Vinv, Vinv), symmetric
 
     def cmm(ar, ai, br, bi):  # Karatsuba complex matmul of 2-D values
-        pe = ar.dtype
-        p1 = jnp.dot(ar, br, preferred_element_type=pe)
-        p2 = jnp.dot(ai, bi, preferred_element_type=pe)
-        p3 = jnp.dot(ar + ai, br + bi, preferred_element_type=pe)
+        dot = partial(jnp.dot, preferred_element_type=ar.dtype, precision=precision)
+        p1 = dot(ar, br)
+        p2 = dot(ai, bi)
+        p3 = dot(ar + ai, br + bi)
         return p1 - p2, p3 - p1 - p2
 
     def inverse(sign, out_r, out_i):
@@ -290,7 +290,7 @@ def _fused_gain_kernel(
     rho_ref, gw_ref,
     axr_ref, axi_ref, ayr_ref, ayi_ref, azr_ref, azi_ref,
     fr_ref, fi_ref, vr_ref, vi_ref, wr_ref, wi_ref, nl_ref,
-    or_ref, oi_ref, *, n, c, gs, coef, amp, eps,
+    or_ref, oi_ref, *, n, c, gs, coef, amp, eps, precision,
 ):
     """Transpose-scheme variant for grids where the Kron table does not fit
     VMEM (N > 32).  Nodes are processed one at a time inside the step (the
@@ -318,10 +318,12 @@ def _fused_gain_kernel(
         ax = (axr_ref[idx, :], axi_ref[idx, :])
         ay = (ayr_ref[idx, :], ayi_ref[idx, :])
         az = (azr_ref[idx, :], azi_ref[idx, :])
-        g1r, g1i = _dft3(n, vr, vi, fr, fi, px=ax, py=ay, pz=az)
+        g1r, g1i = _dft3(n, vr, vi, fr, fi, px=ax, py=ay, pz=az,
+                         precision=precision)
         g2r, g2i = _dft3(
             n, vr, vi, fr, fi,
             px=(ax[0], -ax[1]), py=(ay[0], -ay[1]), pz=(az[0], -az[1]),
+            precision=precision,
         )
         w = gw_ref[idx]
         return (sr + w * (g1r * g2r - g1i * g2i),
@@ -331,7 +333,7 @@ def _fused_gain_kernel(
         acc_r, acc_i = acc
         sr, si = jax.lax.fori_loop(g * gs, (g + 1) * gs, node_body, (zero, zero))
         # one forward transform per radial group (beta1 depends only on rho)
-        sr, si = _dft3(n, wr_ref[:], wi_ref[:], sr, si)
+        sr, si = _dft3(n, wr_ref[:], wi_ref[:], sr, si, precision=precision)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
         beta1 = amp * jnp.sin(arg) / arg
         return (acc_r + beta1 * sr, acc_i + beta1 * si)
@@ -348,7 +350,7 @@ def fused_gain(
     dft_inv, dft_fwd,  # (2, N, N) stacked re/im transform matrices
     norm_l,  # (N, N, N) mode norms
     *, length, b_gamma, nodes_per_step: int = 8, scheme: str = "auto",
-    radial_group: int = 1,
+    radial_group: int = 1, precision: str = "default",
 ):
     """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
 
@@ -399,8 +401,9 @@ def fused_gain(
     gs = math.gcd(max(radial_group, 1), c)
 
     eps = float(np.finfo(dt).eps)
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
     common = dict(
-        n=n, c=c,
+        n=n, c=c, precision=prec,
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
         eps=eps,

@@ -60,6 +60,11 @@ class CollisionConfig:
     node_chunk: Optional[int] = None  # nodes per scan step; None = whole batch
     use_pallas: bool = False  # fuse alpha-multiply + gain-reduce via Pallas (rfft only)
     fused_nodes_per_step: int = 24  # impl="fused": nodes per megakernel grid step
+    # impl="fused" matmul precision: "default" is fastest (TPU f32 matmuls use
+    # the low-precision fast path; BKW Linf 5.0e-5 vs 4.25e-5 at 32^3, still
+    # method-error dominated); "highest" matches the f64 reference digits at
+    # ~2-3x the kernel cost.
+    fused_precision: str = "default"
 
     def __post_init__(self):
         if self.impl not in ("rfft", "c2c", "dft", "fused"):
@@ -68,6 +73,11 @@ class CollisionConfig:
             )
         if self.use_pallas and self.impl != "rfft":
             raise ValueError("use_pallas requires impl='rfft'")
+        if self.fused_precision not in ("default", "highest"):
+            raise ValueError(
+                f"fused_precision must be 'default' or 'highest', got "
+                f"{self.fused_precision!r}"
+            )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be float32/float64, got {self.dtype!r}")
         if self.nv % 2 != 0:
