@@ -42,3 +42,28 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(4)
         assert "dryrun_multichip ok" in capsys.readouterr().out
+
+    def test_dryrun_subprocess_fallback(self):
+        """Driver-env emulation (MULTICHIP_r01 regression): the calling
+        process has a single-device backend already initialized; the entry
+        point must still complete by re-executing in a clean subprocess."""
+        import os
+        import subprocess
+
+        repo = str(Path(__file__).resolve().parent.parent)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo
+        # single CPU device, backend initialized before the dryrun call —
+        # exactly the shape of the driver failure (1 device visible)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        code = (
+            "import jax; assert len(jax.devices()) == 1;"
+            "import __graft_entry__ as g; g.dryrun_multichip(8)"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "dryrun_multichip ok" in proc.stdout
