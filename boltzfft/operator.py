@@ -224,8 +224,13 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
 
     b = pre.rho.shape[0]
     c = min(cfg.chunk, b)
-    if b % c != 0:  # caller supplied unpadded nodes; fall back to one chunk
-        c = b
+    if b % c != 0:
+        # Caller supplied a node count the configured chunk doesn't divide
+        # (e.g. a hand-built unpadded Precomp): round down to the largest
+        # divisor of b so chunking still bounds the working set — one
+        # whole-batch chunk could OOM at large Nv/Ns.
+        while b % c:
+            c -= 1
     n_chunks = b // c
     if n_chunks == 1:
         return _gain_chunk(cfg, pre, f_hat, pre.rho, pre.sigma, pre.gain_w)

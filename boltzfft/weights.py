@@ -32,6 +32,30 @@ from . import modes as _modes
 from . import quadrature as _quad
 
 
+_FALLBACK_HBM_BUDGET = 6 << 30  # measured-good working-set budget on 16-GB v5e
+_HBM_BUDGET_FRACTION = 6 / 16  # leave the rest for XLA FFT workspace + slack
+
+
+def _device_hbm_budget() -> int:
+    """Working-set byte budget for node chunking, from the attached device.
+
+    Scales the round-1 calibration (6 GB working set on a 16-GB v5e — larger
+    budgets OOM'd inside the XLA FFT at 64^3 x Ns=32) by the device's reported
+    memory limit, so larger/smaller parts chunk proportionally.  Falls back to
+    the v5e constant when the backend reports nothing (CPU, interpret mode).
+    """
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit", 0) if stats else 0
+        if limit > 0:
+            return int(limit * _HBM_BUDGET_FRACTION)
+    except Exception:
+        pass
+    return _FALLBACK_HBM_BUDGET
+
+
 @dataclasses.dataclass(frozen=True)
 class CollisionConfig:
     """Static configuration of a collision operator (hashable; jit-safe).
@@ -115,7 +139,7 @@ class CollisionConfig:
         c = self.node_chunk if self.node_chunk is not None else self.auto_chunk()
         return max(1, min(c, self.n_nodes))
 
-    def auto_chunk(self, budget_bytes: int = 6 << 30) -> int:
+    def auto_chunk(self, budget_bytes: Optional[int] = None) -> int:
         """Node-chunk size whose working set fits the HBM budget.
 
         The per-chunk working set is ~6 complex mode-grid arrays (alpha1*f_hat,
@@ -123,8 +147,11 @@ class CollisionConfig:
         at full batch size, ``FFTWBoltzmannOperator.cpp:30-37``, which cannot
         fit at Nv=64/Ns=32).  Bigger chunks are measurably faster (fewer scan
         steps, fatter FFT batches), so this picks the fewest equal chunks that
-        fit rather than a raw cap.
+        fit rather than a raw cap.  The budget defaults to what the attached
+        device reports (see ``_device_hbm_budget``).
         """
+        if budget_bytes is None:
+            budget_bytes = _device_hbm_budget()
         n_modes = self.nv * self.nv * (
             self.nv // 2 + 1 if self.impl == "rfft" else self.nv
         )

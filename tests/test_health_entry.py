@@ -17,7 +17,29 @@ class TestSelfcheck:
         r = selfcheck()
         assert r["ok"], r
         assert r["finite"]
+        assert r["rel_linf"] < r["rel_tol"]
         assert r["backend"] == "cpu"
+
+    def test_passes_fused_impl(self):
+        from boltzfft.health import selfcheck
+
+        r = selfcheck(impl="fused", dtype="float32")
+        assert r["ok"], r
+
+    def test_detects_corrupted_weights(self):
+        """Known-answer property: a wrong-but-bounded Q must FAIL. Corrupt
+        the loss multiplier (beta2 x2) and the gain weights (x0.5) — each is
+        the class of silent numerical fault an amplitude envelope misses."""
+        from boltzfft.health import selfcheck
+
+        r = selfcheck(pre_transform=lambda p: p._replace(beta2=2.0 * p.beta2))
+        assert not r["ok"], r
+        assert r["finite"]
+
+        r = selfcheck(
+            pre_transform=lambda p: p._replace(gain_w=0.5 * p.gain_w)
+        )
+        assert not r["ok"], r
 
 
 class TestGraftEntry:

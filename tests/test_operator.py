@@ -45,6 +45,19 @@ class TestBKWOracle:
         np.testing.assert_allclose(err["L2"], 1.0119e-04, rtol=1e-4)
         np.testing.assert_allclose(err["Linf"], 4.2512e-05, rtol=1e-4)
 
+    @pytest.mark.slow
+    def test_nv64_reference_parity(self):
+        # The high-resolution accuracy anchor: spectral convergence to the
+        # f64 floor (Results/maxwell_bkw_fftw_atomics.txt:195-197). Opt-in:
+        # ~minutes of CPU; run with `pytest -m slow`.
+        cfg = bz.CollisionConfig(nv=64, ns=12, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg)
+        g, f, q_exact = _bkw_setup(cfg)
+        err = bz.error_norms(np.asarray(coll(f, pre)), q_exact, g.dv)
+        np.testing.assert_allclose(err["L1"], 8.9149e-11, rtol=1e-3)
+        np.testing.assert_allclose(err["L2"], 8.3092e-12, rtol=1e-3)
+        np.testing.assert_allclose(err["Linf"], 3.0685e-12, rtol=1e-3)
+
 
 class TestCrossImplementationParity:
     @pytest.mark.parametrize(
@@ -116,6 +129,19 @@ class TestFusedGrouping:
         qc = np.asarray(coll_c(f, pre_c))
         np.testing.assert_allclose(q, qc, atol=1e-12 * np.abs(qc).max())
 
+    def test_tiny_nodes_per_step_clamped(self):
+        # fused_nodes_per_step < 8 with b > c is clamped up to 8 (Mosaic
+        # sublane rule for blocked (C, N^2) node arrays); numerics unchanged.
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="fused",
+                                 fused_nodes_per_step=4)
+        cfg_c = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(f, pre))
+        qc = np.asarray(coll_c(f, pre_c))
+        np.testing.assert_allclose(q, qc, atol=1e-12 * np.abs(qc).max())
+
 
 class TestFusedLimits:
     def test_transpose_scheme_parity(self):
@@ -156,7 +182,7 @@ class TestFusedLimits:
 
 class TestChunking:
     @pytest.mark.parametrize("chunk", [1, 5, 12, 36, None])
-    @pytest.mark.parametrize("impl", ["rfft", "dft"])
+    @pytest.mark.parametrize("impl", ["rfft", "dft", "c2c"])
     def test_chunked_matches_unchunked(self, chunk, impl):
         # Chunk size (incl. a non-divisor forcing padding) must not change Q.
         cfg_full = bz.CollisionConfig(nv=16, ns=6, impl=impl, node_chunk=None)
@@ -168,6 +194,24 @@ class TestChunking:
         q_chunk = np.asarray(coll_c(f, pre_c))
         scale = np.abs(q_full).max()
         np.testing.assert_allclose(q_chunk, q_full, atol=1e-13 * scale)
+
+    def test_unpadded_precomp_keeps_chunking(self):
+        # A hand-built Precomp whose node count the configured chunk doesn't
+        # divide must round the chunk down to a divisor (bounding memory),
+        # not silently collapse to one whole-batch chunk.
+        from boltzfft.operator import gain_spectrum
+
+        cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=7)  # B=96, 96%7!=0
+        cfg_1 = bz.CollisionConfig(nv=16, ns=6, node_chunk=None)
+        pre = bz.build_precomp(cfg_1)  # unpadded: 96 nodes exactly
+        assert pre.rho.shape[0] == 96
+        _, f, _ = _bkw_setup(cfg)
+        import jax.numpy as jnp
+
+        fh = jnp.fft.rfftn(jnp.asarray(f))
+        q7 = np.asarray(gain_spectrum(cfg, pre, fh))
+        q1 = np.asarray(gain_spectrum(cfg_1, pre, fh))
+        np.testing.assert_allclose(q7, q1, atol=1e-13 * np.abs(q1).max())
 
 
 class TestPhysics:

@@ -26,6 +26,39 @@ class TestAutoChunk:
         cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=10_000)
         assert cfg.chunk == cfg.n_nodes
 
+    def test_budget_from_device_memory_stats(self, monkeypatch):
+        # The budget scales with the device's reported bytes_limit; the v5e
+        # calibration point (16 GB -> 6 GB working set) is preserved exactly.
+        from boltzfft import weights as w
+
+        class FakeDev:
+            def __init__(self, limit):
+                self._l = limit
+
+            def memory_stats(self):
+                return {"bytes_limit": self._l} if self._l else None
+
+        import jax
+
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev(16 << 30)])
+        assert w._device_hbm_budget() == 6 << 30
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev(32 << 30)])
+        assert w._device_hbm_budget() == 12 << 30
+        # no stats (CPU / interpret backends) -> calibrated fallback
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev(None)])
+        assert w._device_hbm_budget() == w._FALLBACK_HBM_BUDGET
+
+    def test_budget_drives_chunking(self, monkeypatch):
+        from boltzfft import weights as w
+
+        cfg = bz.CollisionConfig(nv=64, ns=32, dtype="float32")
+        big = cfg.auto_chunk(budget_bytes=64 << 30)
+        small = cfg.auto_chunk(budget_bytes=1 << 30)
+        assert big == cfg.n_nodes and small < big
+        # default path consults the device
+        monkeypatch.setattr(w, "_device_hbm_budget", lambda: 1 << 30)
+        assert cfg.auto_chunk() == small
+
 
 class TestPrecomp:
     def test_padded_nodes_have_zero_weight(self):
