@@ -220,6 +220,9 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
             nodes_per_step=cfg.fused_nodes_per_step,
             radial_group=cfg.ns,
             precision=cfg.fused_precision,
+            scheme=cfg.fused_scheme,
+            radix=cfg.fused_radix,
+            sub_batch=cfg.fused_sub_batch,
         ).astype(cfg.complex_dtype)
 
     b = pre.rho.shape[0]
@@ -274,9 +277,33 @@ def collide(
     ``gain_reduce`` is an optional hook applied to the gain spectrum before the
     final inverse transform — the sharded operator passes ``psum`` over the
     node-axis mesh dimension here (see ``boltzfft.sharding``).
+
+    For the unsharded fused ct path the ENTIRE pipeline — including the
+    forward transform of f, the beta2 loss convolution, both final inverse
+    transforms and the Q assembly — runs inside the one Pallas kernel launch
+    (zero staged XLA transforms); the staged structure below only applies to
+    the other impls and to the sharded hook path.
     """
     f = f.astype(cfg.real_dtype)
     n = cfg.nv
+    if cfg.impl == "fused" and gain_reduce is None:
+        from . import pallas_kernels as pk
+
+        scheme = cfg.fused_scheme
+        if scheme == "auto":
+            scheme = "ct" if pk._ct_pick_radix(cfg.nv) else "kron"
+        if scheme == "ct":
+            ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
+            return pk.fused_collide(
+                pre.rho, pre.gain_w, ax, ay, az, f, pre.beta2,
+                pre.dft_inv, pre.dft_fwd, pre.norm_l,
+                length=cfg.domain_length, b_gamma=cfg.b_gamma,
+                nodes_per_step=cfg.fused_nodes_per_step,
+                radial_group=cfg.ns,
+                precision=cfg.fused_precision,
+                radix=cfg.fused_radix,
+                sub_batch=cfg.fused_sub_batch,
+            ).astype(cfg.real_dtype)
     if cfg.impl == "rfft":
         f_hat = jnp.fft.rfftn(f, axes=_FFT_AXES)
         q_gain_hat = gain_spectrum(cfg, pre, f_hat)

@@ -32,6 +32,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_PRECISION_MAP = {
+    # TPU f32 matmul passes: default = fastest (bf16-class products),
+    # "highest" = multi-pass f32-faithful.  (Precision.HIGH / bf16_3x is not
+    # lowerable inside Mosaic kernels — "Unsupported dot precision: HIGH".)
+    "default": None,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -286,6 +295,467 @@ def _fused_gain_kron_kernel(
     oi_ref[:] = oi_ref[:] + acc_i
 
 
+# --------------------------------------------------------------------------
+# Cooley-Tukey block-factorized scheme ("ct"): the y/z pair transform of the
+# kron scheme, but with each axis split as N = R * S (S <= 32).  In a
+# block-major permuted lane basis the two-axis transform becomes R^2 matmuls
+# against the small shared kron(U_S, U_S) table plus lane-local twiddles and
+# trace-time-unrolled butterflies — N/(2R) x fewer MXU FLOPs than the dense
+# (N^2, N^2) Kron matmul while keeping MXU-saturating contraction depth S^2.
+# This removes the kron scheme's N <= 32 VMEM ceiling (the dense table is
+# 128 MB at N=64) and is the TPU answer to the reference's per-node FFTW
+# plan execution at 64^3 (FFTWBoltzmannOperator.cpp:191-276).
+#
+# Lane bases (permutations applied OUTSIDE the kernel as one cheap gather):
+#   modes  M~: lane = (p_y, p_z, ly', lz'),  l = R*l' + p   (DIT parity split)
+#   points P~: lane = (a_y, a_z, y'', z''),  y = S*a  + y''  (block split)
+# Inverse (M~ -> P~): per parity block, matmul by kron(U_S,U_S)/R^2, multiply
+# the twiddle exp(+2 pi i (p_y y'' + p_z z'')/N), then an R-point DFT across
+# blocks per dimension (adds only for R in {2,4}).  Forward (P~ -> M~) is the
+# exact adjoint order with conjugated twiddles and the scaled-conjugate table.
+# --------------------------------------------------------------------------
+
+
+def _ct_pick_radix(n: int, radix: int = 0) -> int:
+    """Radix R for the ct scheme (0 = auto).  Hardware-valid splits need
+    S = N/R in {16, 32} (parity blocks of S^2 lanes must be 128-multiples);
+    smaller S is allowed for interpret-mode tests.  Returns 0 if none."""
+    if radix:
+        if n % radix or n // radix < 2:
+            raise ValueError(f"radix {radix} invalid for n={n}")
+        return radix
+    if n % 16 == 0 and 2 <= n // 16 <= 8:
+        return n // 16  # S=16: FLOP-optimal, 256-lane blocks
+    if n % 32 == 0 and n // 32 >= 2:
+        return n // 32
+    for r in (2, 3, 4, 5, 6, 8):  # small-n test fallback (interpret mode)
+        if n % r == 0 and n // r >= 4:
+            return r
+    return 0
+
+
+def _ct_mode_perm(n: int, r: int) -> np.ndarray:
+    """new-lane -> old-lane map for the block-major mode basis."""
+    s = n // r
+    py, pz, ly, lz = np.meshgrid(
+        np.arange(r), np.arange(r), np.arange(s), np.arange(s), indexing="ij"
+    )
+    return ((r * ly + py) * n + (r * lz + pz)).reshape(-1)
+
+
+def _ct_pos_perm(n: int, r: int) -> np.ndarray:
+    """new-lane -> old-lane map for the block-major position basis."""
+    s = n // r
+    ay, az, yy, zz = np.meshgrid(
+        np.arange(r), np.arange(r), np.arange(s), np.arange(s), indexing="ij"
+    )
+    return ((s * ay + yy) * n + (s * az + zz)).reshape(-1)
+
+
+def _inv_perm(p: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(p)
+    inv[p] = np.arange(p.shape[0])
+    return inv
+
+
+def _ct_tables(n: int, r: int):
+    """(K_inv re/im, twiddle re/im) numpy f64 tables for the ct scheme."""
+    s = n // r
+    lp = np.arange(s)
+    u = np.exp(2j * np.pi * np.outer(lp, lp) / s) / s  # inverse S-point, 1/S
+    k = np.kron(u, u) / (r * r)  # fold the remaining 1/R^2 of the 1/N^2
+    yy, zz = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    tw = np.stack(
+        [
+            np.exp(2j * np.pi * (py * yy + pz * zz) / n).reshape(-1)
+            for py in range(r)
+            for pz in range(r)
+        ]
+    )
+    return k.real, k.imag, tw.real, tw.imag
+
+
+def _bf1d(vals, r, sign):
+    """R-point DFT across a list of (re, im) blocks, unrolled at trace time.
+
+    out[a] = sum_p omega^(a p) vals[p],  omega = exp(sign * 2 pi i / R).
+    R in {2, 4} lowers to adds and re/im swaps only (omega powers are
+    +-1, +-i); other R use trace-time complex constants.
+    """
+    if r == 1:
+        return list(vals)
+    if r == 2:
+        (ar, ai), (br, bi) = vals
+        return [(ar + br, ai + bi), (ar - br, ai - bi)]
+    if r == 4:
+        (t0r, t0i), (t1r, t1i), (t2r, t2i), (t3r, t3i) = vals
+        e0r, e0i = t0r + t2r, t0i + t2i
+        e1r, e1i = t0r - t2r, t0i - t2i
+        o0r, o0i = t1r + t3r, t1i + t3i
+        o1r, o1i = t1r - t3r, t1i - t3i
+        # sign*i * o1  ->  (-sign*o1_im, sign*o1_re)
+        w1r, w1i = -sign * o1i, sign * o1r
+        return [
+            (e0r + o0r, e0i + o0i),
+            (e1r + w1r, e1i + w1i),
+            (e0r - o0r, e0i - o0i),
+            (e1r - w1r, e1i - w1i),
+        ]
+    out = []
+    for a in range(r):
+        accr = acci = None
+        for p, (tr, ti) in enumerate(vals):
+            wr = math.cos(2.0 * math.pi * a * p / r)
+            wi = sign * math.sin(2.0 * math.pi * a * p / r)
+            if abs(wr - 1.0) < 1e-15 and abs(wi) < 1e-15:
+                cr, ci = tr, ti
+            elif abs(wr + 1.0) < 1e-15 and abs(wi) < 1e-15:
+                cr, ci = -tr, -ti
+            elif abs(wr) < 1e-15 and abs(wi - 1.0) < 1e-15:
+                cr, ci = -ti, tr
+            elif abs(wr) < 1e-15 and abs(wi + 1.0) < 1e-15:
+                cr, ci = ti, -tr
+            else:
+                cr, ci = wr * tr - wi * ti, wr * ti + wi * tr
+            accr = cr if accr is None else accr + cr
+            acci = ci if acci is None else acci + ci
+        out.append((accr, acci))
+    return out
+
+
+def _block_dft_2d(blocks, r, sign):
+    """Apply the R-point block DFT along both block dimensions.
+
+    ``blocks`` is a flat list of R^2 (re, im) pairs indexed outer*R + inner;
+    the inner dimension is transformed first, then the outer.
+    """
+    mid = []
+    for py in range(r):
+        mid.extend(_bf1d(blocks[py * r:(py + 1) * r], r, sign))
+    out = [None] * (r * r)
+    for z in range(r):
+        col = _bf1d([mid[py * r + z] for py in range(r)], r, sign)
+        for a in range(r):
+            out[a * r + z] = col[a]
+    return out
+
+
+def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
+    """The ct-scheme megakernel.
+
+    Non-io mode consumes f_hat (mode-permuted re/im planes) and accumulates
+    the gain spectrum into the two outputs across sequential grid steps.
+
+    io mode fuses the whole collision eval into the one kernel: step 0
+    forward-transforms the (position-permuted) real input f into the f_hat
+    scratch and builds the loss convolution Re IFFT(beta2 f_hat); the final
+    step inverse-transforms the gain accumulator and emits
+    ``Q = Re(IFFT(Q_gain_hat)) - Re(IFFT(beta2 f_hat)) * f`` directly
+    (reference assembly: FFTWBoltzmannOperator.cpp:281-330) — zero staged
+    XLA transforms remain.
+    """
+    s2 = (n // r) * (n // r)
+    r2 = r * r
+    n2 = n * n
+    if io:
+        (rho_ref, gw_ref, axr_ref, axi_ref, ayzr_ref, ayzi_ref,
+         fpr_ref, b2_ref, vr_ref, vi_ref, fwr_ref, fwi_ref,
+         kr_ref, ki_ref, twr_ref, twi_ref, nl_ref,
+         q_ref, fhr_s, fhi_s, b2f_s, accr, acci) = refs
+    else:
+        (rho_ref, gw_ref, axr_ref, axi_ref, ayzr_ref, ayzi_ref,
+         fhr_ref, fhi_ref, vr_ref, vi_ref, fwr_ref, fwi_ref,
+         kr_ref, ki_ref, twr_ref, twi_ref, nl_ref,
+         accr, acci) = refs
+    i = pl.program_id(0)
+    dt = nl_ref.dtype
+
+    def cmm(ar, ai, br, bi):  # Karatsuba complex matmul of 2-D values
+        dot = partial(jnp.dot, preferred_element_type=dt, precision=precision)
+        p1 = dot(ar, br)
+        p2 = dot(ai, bi)
+        p3 = dot(ar + ai, br + bi)
+        return p1 - p2, p3 - p1 - p2
+
+    kr, ki = kr_ref[:], ki_ref[:]
+    vr, vi = vr_ref[:], vi_ref[:]
+    n2f = float(n2)
+
+    def yz_inverse(tr, ti):
+        # (rows, N^2) modes M~ -> positions P~
+        blocks = []
+        for bx in range(r2):
+            sl = slice(bx * s2, (bx + 1) * s2)
+            br, bi = cmm(tr[:, sl], ti[:, sl], kr, ki)
+            pr, pi = twr_ref[bx, :], twi_ref[bx, :]
+            blocks.append((br * pr - bi * pi, br * pi + bi * pr))
+        blocks = _block_dft_2d(blocks, r, 1.0)
+        return (
+            jnp.concatenate([p[0] for p in blocks], axis=-1),
+            jnp.concatenate([p[1] for p in blocks], axis=-1),
+        )
+
+    def yz_forward(tr, ti):
+        # (rows, N^2) positions P~ -> modes M~ (unnormalized forward):
+        # block butterflies first, then conj twiddle, then the scaled
+        # conjugate table N^2 conj(K) = kron(F_S, F_S)-with-twiddles.
+        blocks = [
+            (tr[:, bx * s2:(bx + 1) * s2], ti[:, bx * s2:(bx + 1) * s2])
+            for bx in range(r2)
+        ]
+        blocks = _block_dft_2d(blocks, r, -1.0)
+        outs = []
+        for bx, (br, bi) in enumerate(blocks):
+            pr, pi = twr_ref[bx, :], twi_ref[bx, :]
+            ur = br * pr + bi * pi
+            ui = bi * pr - br * pi
+            outs.append(cmm(ur, ui, n2f * kr, -n2f * ki))
+        return (
+            jnp.concatenate([p[0] for p in outs], axis=-1),
+            jnp.concatenate([p[1] for p in outs], axis=-1),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        accr[:] = jnp.zeros_like(accr)
+        acci[:] = jnp.zeros_like(acci)
+        if io:
+            dot = partial(
+                jnp.dot, preferred_element_type=dt, precision=precision
+            )
+            fp = fpr_ref[:]  # (N, N^2) real, position-permuted
+            fhr, fhi = yz_forward(dot(fwr_ref[:], fp), dot(fwi_ref[:], fp))
+            fhr_s[:] = fhr
+            fhi_s[:] = fhi
+            b2 = b2_ref[:]
+            tr, ti = yz_inverse(b2 * fhr, b2 * fhi)
+            b2f_s[:] = dot(vr, tr) - dot(vi, ti)  # Re of the x inverse
+
+    if io:
+        fr, fi = fhr_s[:], fhi_s[:]
+    else:
+        fr, fi = fhr_ref[:], fhi_ref[:]
+
+    nl = nl_ref[:]
+    zero = jnp.zeros((n, n2), dt)
+    base = i * c
+
+    def group_body(g, carry):
+        def sub_body(j, s):
+            sr, si = s
+            off = g * gs + j * cc
+            # Per-node phase rows are read one at a time (Mosaic rejects
+            # dynamic multi-row sublane slices that aren't 8-aligned) and the
+            # cc nodes are stacked into one tall (cc*N, N^2) matmul operand.
+            t1r, t1i, t2r, t2i = [], [], [], []
+            for k in range(cc):
+                pr = ayzr_ref[off + k, :]
+                pi = ayzi_ref[off + k, :]
+                t1r.append(fr * pr - fi * pi)  # alpha1 phases
+                t1i.append(fr * pi + fi * pr)
+                t2r.append(fr * pr + fi * pi)  # conj(alpha1) phases
+                t2i.append(fi * pr - fr * pi)
+            cat = (lambda p: p[0]) if cc == 1 else partial(jnp.concatenate, axis=0)
+            y1r, y1i = yz_inverse(cat(t1r), cat(t1i))
+            y2r, y2i = yz_inverse(cat(t2r), cat(t2i))
+            for k in range(cc):  # x inverse per node, alpha_x folded in
+                rs = slice(k * n, (k + 1) * n)
+                idx = base + off + k
+                axr = axr_ref[idx, :]
+                axi = axi_ref[idx, :]
+                m1r = vr * axr - vi * axi
+                m1i = vr * axi + vi * axr
+                g1r, g1i = cmm(m1r, m1i, y1r[rs], y1i[rs])
+                m2r = vr * axr + vi * axi
+                m2i = vi * axr - vr * axi
+                g2r, g2i = cmm(m2r, m2i, y2r[rs], y2i[rs])
+                w = gw_ref[idx]
+                sr = sr + w * (g1r * g2r - g1i * g2i)
+                si = si + w * (g1r * g2i + g1i * g2r)
+            return sr, si
+
+        sr, si = jax.lax.fori_loop(0, gs // cc, sub_body, (zero, zero))
+        # one forward transform per radial group (beta1 depends only on rho)
+        sr, si = cmm(fwr_ref[:], fwi_ref[:], sr, si)
+        sr, si = yz_forward(sr, si)
+        arg = (coef * rho_ref[base + g * gs]) * nl + eps
+        beta1 = amp * jnp.sin(arg) / arg
+        accr[:] = accr[:] + beta1 * sr
+        acci[:] = acci[:] + beta1 * si
+        return carry
+
+    jax.lax.fori_loop(0, c // gs, group_body, 0)
+
+    if io:
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            dot = partial(
+                jnp.dot, preferred_element_type=dt, precision=precision
+            )
+            tr, ti = yz_inverse(accr[:], acci[:])
+            q_gain = dot(vr, tr) - dot(vi, ti)  # Re of the x inverse
+            q_ref[:] = q_gain - b2f_s[:] * fpr_ref[:]
+
+
+def _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch):
+    """(c, cc, gs) for the ct kernel: c nodes per grid step (multiple of 8
+    for the blocked (C, N^2) tables, multiple of gs for group hoisting),
+    cc nodes per inner matmul sub-batch (cc | gs, VMEM-bounded)."""
+    c = min(nodes_per_step, b)
+    if c >= 8:
+        c = (c // 8) * 8
+    elif b > c:
+        c = min(8, b)
+    gs = math.gcd(max(radial_group, 1), c)
+    if sub_batch:
+        if gs % sub_batch:
+            raise ValueError(
+                f"fused_sub_batch={sub_batch} must divide the radial group "
+                f"size {gs}"
+            )
+        return c, sub_batch, gs
+    cc = 1
+    budget = 44 << 20  # live per-node planes during the transform, ~12/node
+    for cand in (8, 4, 2):
+        if gs % cand == 0 and cand * n <= 512 and cand * 12 * n * n * n * 4 <= budget:
+            cc = cand
+            break
+    return c, cc, gs
+
+
+def _fused_gain_ct(
+    rho, gain_w, ax, ay, az, f_hat, dft_inv, dft_fwd, norm_l,
+    *, length, b_gamma, nodes_per_step, radial_group, precision, radix,
+    sub_batch, f=None, beta2=None,
+):
+    """ct-scheme driver: returns the gain spectrum (N,N,N) complex, or — when
+    ``f`` and ``beta2`` are given — the fully fused collision result Q
+    (N,N,N) real with the loss term and all outer transforms in-kernel."""
+    b, n = ax.shape
+    r = _ct_pick_radix(n, radix)
+    if not r:
+        raise ValueError(f"no ct radix split for n={n}")
+    s2 = (n // r) * (n // r)
+    r2 = r * r
+    n2 = n * n
+    io = f is not None
+
+    c, cc, gs = _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch)
+    if b % c:
+        pad = c - b % c
+        one = jnp.ones((pad, n), ax.dtype)
+        ax = jnp.concatenate([ax, one])
+        ay = jnp.concatenate([ay, one])
+        az = jnp.concatenate([az, one])
+        rho = jnp.concatenate([rho, jnp.ones((pad,), rho.dtype)])
+        gain_w = jnp.concatenate([gain_w, jnp.zeros((pad,), gain_w.dtype)])
+        b += pad
+
+    dt = jnp.float32 if f_hat is None or f_hat.dtype == jnp.complex64 else jnp.float64
+    if io:
+        dt = jnp.float32 if f.dtype == jnp.float32 else jnp.float64
+
+    mp = _ct_mode_perm(n, r)
+    kr_np, ki_np, twr_np, twi_np = _ct_tables(n, r)
+
+    # combined y/z phases, built block-major in the permuted mode basis
+    ayz = (ay[:, :, None] * az[:, None, :]).reshape(b, n2)[:, mp]
+
+    eps = float(np.finfo(dt).eps)
+    prec = _PRECISION_MAP[precision]
+    kernel = partial(
+        _fused_ct_kernel,
+        n=n, r=r, c=c, cc=cc, gs=gs, io=io,
+        coef=math.pi / (2.0 * length),
+        amp=4.0 * math.pi * b_gamma,
+        eps=eps, precision=prec,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    nodeb = lambda w: pl.BlockSpec((c, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+
+    common_in = [
+        smem(), smem(),
+        full((b, n)), full((b, n)),
+        nodeb(n2), nodeb(n2),
+    ]
+    tail_in = [
+        full((n, n)), full((n, n)), full((n, n)), full((n, n)),
+        full((s2, s2)), full((s2, s2)),
+        full((r2, s2)), full((r2, s2)),
+        full((n, n2)),
+    ]
+    common_args = (
+        rho.astype(dt), gain_w.astype(dt),
+        jnp.real(ax).astype(dt), jnp.imag(ax).astype(dt),
+        jnp.real(ayz).astype(dt), jnp.imag(ayz).astype(dt),
+    )
+    tail_args = (
+        dft_inv[0].astype(dt), dft_inv[1].astype(dt),
+        dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
+        jnp.asarray(kr_np, dt), jnp.asarray(ki_np, dt),
+        jnp.asarray(twr_np, dt), jnp.asarray(twi_np, dt),
+        jnp.take(norm_l.reshape(n, n2).astype(dt), mp, axis=1),
+    )
+
+    if io:
+        pp = _ct_pos_perm(n, r)
+        q = pl.pallas_call(
+            kernel,
+            grid=(b // c,),
+            in_specs=common_in + [full((n, n2)), full((n, n2))] + tail_in,
+            out_specs=full((n, n2)),
+            out_shape=jax.ShapeDtypeStruct((n, n2), dt),
+            scratch_shapes=[pltpu.VMEM((n, n2), dt)] * 5,
+            compiler_params=params,
+            interpret=_interpret(),
+        )(
+            *common_args,
+            jnp.take(f.reshape(n, n2).astype(dt), pp, axis=1),
+            jnp.take(beta2.reshape(n, n2).astype(dt), mp, axis=1),
+            *tail_args,
+        )
+        return jnp.take(q, _inv_perm(pp), axis=1).reshape(n, n, n)
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(b // c,),
+        in_specs=common_in + [full((n, n2)), full((n, n2))] + tail_in,
+        out_specs=[full((n, n2))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, n2), dt)] * 2,
+        compiler_params=params,
+        interpret=_interpret(),
+    )(
+        *common_args,
+        jnp.take(jnp.real(f_hat).reshape(n, n2).astype(dt), mp, axis=1),
+        jnp.take(jnp.imag(f_hat).reshape(n, n2).astype(dt), mp, axis=1),
+        *tail_args,
+    )
+    out = out_r + 1j * out_i
+    return jnp.take(out, _inv_perm(mp), axis=1).reshape(n, n, n)
+
+
+def fused_collide(
+    rho, gain_w, ax, ay, az, f, beta2, dft_inv, dft_fwd, norm_l,
+    *, length, b_gamma, nodes_per_step=24, radial_group=1,
+    precision="default", radix=0, sub_batch=0,
+):
+    """The ENTIRE collision operator as one kernel launch (ct scheme):
+    forward transform of f, all per-node work, the gain reduction, the
+    beta2 loss convolution, both final inverse transforms, and the Q
+    assembly run in-kernel (reference pipeline:
+    ``FFTWBoltzmannOperator.cpp:147-334``).  Returns Q (N,N,N) real."""
+    return _fused_gain_ct(
+        rho, gain_w, ax, ay, az, None, dft_inv, dft_fwd, norm_l,
+        length=length, b_gamma=b_gamma, nodes_per_step=nodes_per_step,
+        radial_group=radial_group, precision=precision, radix=radix,
+        sub_batch=sub_batch, f=f, beta2=beta2,
+    )
+
+
 def _fused_gain_kernel(
     rho_ref, gw_ref,
     axr_ref, axi_ref, ayr_ref, ayi_ref, azr_ref, azi_ref,
@@ -351,6 +821,7 @@ def fused_gain(
     norm_l,  # (N, N, N) mode norms
     *, length, b_gamma, nodes_per_step: int = 8, scheme: str = "auto",
     radial_group: int = 1, precision: str = "default",
+    radix: int = 0, sub_batch: int = 0,
 ):
     """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
 
@@ -360,14 +831,31 @@ def fused_gain(
 
     * ``"kron"`` — transpose-free, MXU-saturating (the y/z transform is one
       (N^2)-deep Kron matmul); needs an (N^2, N^2) table in VMEM, so N <= 32.
+    * ``"ct"`` — Cooley-Tukey block factorization N = R*S of the y/z pair:
+      R^2 matmuls against the small kron(U_S, U_S) table + lane butterflies.
+      Any N with a valid split (S in {16, 32} on hardware); ``radix`` forces
+      R, ``sub_batch`` forces the inner node sub-batch size.
     * ``"transpose"`` — tall (N^2, N)-matmul per axis with vector transposes;
       works at any N.
-    * ``"auto"`` — kron when it fits, else transpose.
+    * ``"auto"`` — kron for N <= 32, else ct when a radix exists, else
+      transpose.
     """
     b, n = ax.shape
     if scheme == "auto":
-        # the (N^2, N^2) Kron table fits VMEM only up to N=32
-        scheme = "kron" if n <= 32 else "transpose"
+        # dense Kron table (N^2, N^2) fits VMEM only up to N=32; beyond that
+        # the Cooley-Tukey block factorization when a valid radix exists
+        if n <= 32:
+            scheme = "kron"
+        else:
+            scheme = "ct" if _ct_pick_radix(n) else "transpose"
+
+    if scheme == "ct":
+        return _fused_gain_ct(
+            rho, gain_w, ax, ay, az, f_hat, dft_inv, dft_fwd, norm_l,
+            length=length, b_gamma=b_gamma, nodes_per_step=nodes_per_step,
+            radial_group=radial_group, precision=precision,
+            radix=radix, sub_batch=sub_batch,
+        )
 
     if scheme == "kron":
         # VMEM cap: the kernel keeps ~16 (C, N^3) f32 planes live at peak
@@ -377,6 +865,11 @@ def fused_gain(
         c = min(nodes_per_step, c_cap, b)
         if c >= 8:
             c = (c // 8) * 8  # (C, N^2) block sublanes must be a multiple of 8
+        elif b > c:
+            # Mosaic's sublane rule rejects (C, N^2) node blocks with C < 8
+            # unless C covers the whole node axis: clamp up (the zero-weight
+            # node padding below absorbs any overshoot).
+            c = min(8, b)
     else:
         # per-node loop: VMEM footprint is c-independent; c only bounds the
         # unrolled kernel size
@@ -401,7 +894,7 @@ def fused_gain(
     gs = math.gcd(max(radial_group, 1), c)
 
     eps = float(np.finfo(dt).eps)
-    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    prec = _PRECISION_MAP[precision]
     common = dict(
         n=n, c=c, precision=prec,
         coef=math.pi / (2.0 * length),

@@ -89,6 +89,13 @@ class CollisionConfig:
     # method-error dominated); "highest" matches the f64 reference digits at
     # ~2-3x the kernel cost.
     fused_precision: str = "default"
+    # impl="fused" transform scheme: "kron" (dense (N^2,N^2) y/z Kron matmul,
+    # N <= 32), "ct" (Cooley-Tukey block factorization, any N with a valid
+    # N = R*S split — the only scheme with the fully-in-kernel io path),
+    # "transpose" (per-axis matmuls, any N), or "auto".
+    fused_scheme: str = "auto"
+    fused_radix: int = 0  # ct radix R (0 = auto: S = N/R = 16 preferred)
+    fused_sub_batch: int = 0  # ct nodes per inner matmul stack (0 = auto)
 
     def __post_init__(self):
         if self.impl not in ("rfft", "c2c", "dft", "fused"):
@@ -101,6 +108,11 @@ class CollisionConfig:
             raise ValueError(
                 f"fused_precision must be 'default' or 'highest', got "
                 f"{self.fused_precision!r}"
+            )
+        if self.fused_scheme not in ("auto", "kron", "ct", "transpose"):
+            raise ValueError(
+                f"fused_scheme must be auto/kron/ct/transpose, got "
+                f"{self.fused_scheme!r}"
             )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be float32/float64, got {self.dtype!r}")

@@ -115,12 +115,117 @@ class TestCrossImplementationParity:
         np.testing.assert_allclose(q, q_direct, atol=1e-13 * scale)
 
 
+class TestFusedCT:
+    """The Cooley-Tukey fused scheme (arbitrary N = R*S) and its fully
+    in-kernel io path (forward of f, loss convolution, final inverses and Q
+    assembly all inside the one Pallas launch)."""
+
+    @pytest.mark.parametrize("radix", [2, 4])
+    def test_io_collide_matches_c2c(self, radix):
+        cfg = bz.CollisionConfig(
+            nv=16, ns=6, impl="fused", fused_scheme="ct", fused_radix=radix
+        )
+        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(f, pre))
+        qc = np.asarray(coll_c(f, pre_c))
+        np.testing.assert_allclose(q, qc, atol=1e-12 * np.abs(qc).max())
+
+    def test_io_collide_f32(self):
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused", dtype="float32")
+        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c", dtype="float32")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(np.asarray(f, np.float32), pre))
+        qc = np.asarray(coll_c(np.asarray(f, np.float32), pre_c))
+        np.testing.assert_allclose(q, qc, atol=2e-5 * np.abs(qc).max())
+
+    def test_ct_spectrum_matches_c2c(self):
+        # non-io ct (the sharded-path variant: f_hat in, spectrum out)
+        import jax.numpy as jnp
+
+        from boltzfft import pallas_kernels as pk
+        from boltzfft.operator import _alpha_factors, gain_spectrum
+
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused")
+        pre = bz.build_precomp(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        fh = jnp.fft.fftn(jnp.asarray(f).astype(cfg.complex_dtype))
+        ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
+        q_hat = pk.fused_gain(
+            pre.rho, pre.gain_w, ax, ay, az, fh, pre.dft_inv, pre.dft_fwd,
+            pre.norm_l, length=cfg.domain_length, b_gamma=cfg.b_gamma,
+            scheme="ct", radial_group=cfg.ns,
+        )
+        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        ref = gain_spectrum(cfg_c, bz.build_precomp(cfg_c), fh)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(
+            np.asarray(q_hat), np.asarray(ref), atol=1e-12 * scale
+        )
+
+    def test_partial_radial_groups_ct(self):
+        # ns=32 with 24 nodes/step -> group size gcd(32,24)=8: partial radial
+        # groups must sum across steps exactly (as for the kron scheme).
+        cfg = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="fused",
+                                 fused_scheme="ct", fused_nodes_per_step=24)
+        cfg_c = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="c2c")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(f, pre))
+        qc = np.asarray(coll_c(f, pre_c))
+        np.testing.assert_allclose(q, qc, atol=1e-12 * np.abs(qc).max())
+
+    def test_vmap_matches_loop(self):
+        # the ensemble sharding path vmaps collide over a leading axis;
+        # Pallas batching must preserve the grid accumulation semantics
+        import jax
+        import jax.numpy as jnp
+
+        from boltzfft.operator import collide
+
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="fused")
+        pre = bz.build_precomp(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        fs = jnp.stack([jnp.asarray(f), 0.8 * jnp.asarray(f)])
+        one = lambda x: collide(cfg, pre, x)
+        q_loop = jnp.stack([one(fs[0]), one(fs[1])])
+        q_vmap = jax.vmap(one)(fs)
+        np.testing.assert_allclose(
+            np.asarray(q_vmap), np.asarray(q_loop),
+            atol=1e-13 * float(jnp.abs(q_loop).max()),
+        )
+
+    def test_explicit_sub_batch(self):
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused", fused_sub_batch=2)
+        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        _, f, _ = _bkw_setup(cfg)
+        q = np.asarray(coll(f, pre))
+        qc = np.asarray(coll_c(f, pre_c))
+        np.testing.assert_allclose(q, qc, atol=1e-12 * np.abs(qc).max())
+
+    def test_bad_radix_rejected(self):
+        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused", fused_radix=5)
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        _, f, _ = _bkw_setup(cfg)
+        with pytest.raises(ValueError, match="radix"):
+            coll(f, pre)
+
+
 class TestFusedGrouping:
     def test_partial_radial_groups(self):
         # ns=32 with 24 nodes/step -> group size gcd(32,24)=8: the kernel sums
         # partial radial groups across steps; must still match c2c exactly.
+        # (fused_scheme="kron" keeps the dense-Kron kernel covered now that
+        # "auto" resolves to the ct io path.)
         cfg = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="fused",
-                                 fused_nodes_per_step=24)
+                                 fused_scheme="kron", fused_nodes_per_step=24)
         cfg_c = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="c2c")
         coll, pre = bz.make_collision_operator(cfg)
         coll_c, pre_c = bz.make_collision_operator(cfg_c)
@@ -133,7 +238,7 @@ class TestFusedGrouping:
         # fused_nodes_per_step < 8 with b > c is clamped up to 8 (Mosaic
         # sublane rule for blocked (C, N^2) node arrays); numerics unchanged.
         cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="fused",
-                                 fused_nodes_per_step=4)
+                                 fused_scheme="kron", fused_nodes_per_step=4)
         cfg_c = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c")
         coll, pre = bz.make_collision_operator(cfg)
         coll_c, pre_c = bz.make_collision_operator(cfg_c)
