@@ -27,6 +27,12 @@ from .sharding import (
     place,
 )
 from .cache import enable_compilation_cache, load_precomp, save_precomp
+from .checkpoint import RelaxCheckpointer
+from .distributed import (
+    initialize_distributed,
+    make_multihost_mesh,
+    process_local_ensemble_slice,
+)
 from .stats import RunStats, error_norms, error_norms_device, time_fn, trace
 from .timestepper import (
     Trajectory,
@@ -49,6 +55,10 @@ __all__ = [
     "trace",
     "NODE_AXIS",
     "Trajectory",
+    "RelaxCheckpointer",
+    "initialize_distributed",
+    "make_multihost_mesh",
+    "process_local_ensemble_slice",
     "euler_step",
     "make_mesh",
     "make_relaxation",

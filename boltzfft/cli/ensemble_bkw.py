@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--ens-mesh", type=int, default=None,
                    help="devices on the ensemble axis (default: all)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax checkpoint directory; resumes from the latest "
+                        "step if one exists")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="RK4 steps between checkpoints (0 = only at the end)")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +71,9 @@ def main(argv=None):
     )
     v = jnp.asarray(g.v, cfg.real_dtype)
 
+    if args.checkpoint_dir:
+        return _run_checkpointed(args, bz, cfg, collide_fn, pre, f0, v, g)
+
     run = bz.make_relaxation(
         collide_fn, pre, dt=args.dt, n_steps=args.steps, method="rk4",
         record=lambda f: bz.moments(f, v, g.dv),
@@ -87,6 +95,50 @@ def main(argv=None):
     print(f"final temperature range: "
           f"[{np.asarray(traj.recorded.temperature)[-1].min():.6f}, "
           f"{np.asarray(traj.recorded.temperature)[-1].max():.6f}]")
+    return 0
+
+
+def _run_checkpointed(args, bz, cfg, collide_fn, pre, f0, v, g):
+    """Segmented relaxation with orbax checkpoint/resume: the production
+    long-run path (preemptible capacity).  Resumes from the latest step in
+    ``--checkpoint-dir`` when present."""
+    import jax
+    import numpy as np
+
+    seg = args.checkpoint_every or args.steps
+    run_seg = bz.make_relaxation(
+        collide_fn, pre, dt=args.dt, n_steps=seg, method="rk4",
+        record=lambda f: bz.moments(f, v, g.dv),
+    )
+
+    with bz.RelaxCheckpointer(args.checkpoint_dir) as ck:
+        start, t_sim, f = 0, 0.0, f0
+        latest = ck.latest_step()
+        if latest is not None:
+            f, t_sim = ck.restore(latest, template=f0)
+            start = latest
+            print(f"resumed from step {start} (t = {t_sim:.4f})")
+        step = start
+        t0 = time.perf_counter()
+        while step < args.steps:
+            traj = run_seg(f)
+            f = traj.f
+            step += seg
+            t_sim += seg * args.dt
+            jax.block_until_ready(f)
+            ck.save(step, f, t_sim)
+            mass = np.asarray(traj.recorded.mass)
+            print(f"step {step}/{args.steps} t={t_sim:.4f} "
+                  f"mass=[{mass[-1].min():.6f}, {mass[-1].max():.6f}]")
+        ck.wait()
+        wall = time.perf_counter() - t0
+    done = max(args.steps - start, 0)
+    evals = args.ensemble * done * 4
+    if done:
+        print(f"{done} steps ({evals} collision evals) in {wall:.2f}s "
+              f"incl. checkpoint I/O; state in {args.checkpoint_dir}")
+    else:
+        print("nothing to do: checkpoint already at final step")
     return 0
 
 
