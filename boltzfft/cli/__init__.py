@@ -34,6 +34,10 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )
+    p.add_argument(
+        "--n-radial", type=int, default=None,
+        help="Gauss-Legendre radial points (default: Nv, as in the reference)",
+    )
     # VHS kernel parameters (defaults: Maxwell molecules, maxwell_bkw_fftw.cpp:54-55)
     p.add_argument("--gamma", type=float, default=0.0,
                    help="VHS velocity exponent (0=Maxwell, 1=hard spheres)")

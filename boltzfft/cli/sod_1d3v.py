@@ -1,0 +1,90 @@
+"""Space-inhomogeneous 1D×3V demo: a Sod-type kinetic shock tube.
+
+Solves ``df/dt + v_x df/dx = Q(f,f)/Kn`` with Strang splitting (periodic
+upwind transport + per-cell collisions on the ensemble axis), printing
+density/temperature profiles and conservation diagnostics.  The reference
+code has no spatial transport at all (SURVEY.md section 0); this is the
+production workload its collision kernel feeds.
+
+    python -m boltzfft.cli.sod_1d3v --Nv 16 --Ns 12 --nx 32 --steps 20
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from boltzfft.cli import default_dtype, standard_parser
+
+    p = standard_parser(__doc__)
+    p.add_argument("--nx", type=int, default=32, help="spatial cells (periodic)")
+    p.add_argument("--x-length", type=float, default=1.0)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--knudsen", type=float, default=0.5)
+    p.add_argument("--dt", type=float, default=None,
+                   help="time step (default: CFL-limited for the transport)")
+    p.add_argument("--mesh-cells", type=int, default=None,
+                   help="shard cells over this many devices (ensemble axis)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import boltzfft as bz
+    from boltzfft import transport
+
+    dtype = args.dtype or default_dtype()
+    cfg = bz.CollisionConfig(nv=args.Nv, ns=args.Ns, impl=args.impl,
+                             dtype=dtype, node_chunk=args.node_chunk,
+                             n_radial=args.n_radial or args.Nv)
+    g = cfg.velocity_grid
+    dx = args.x_length / args.nx
+    dt = args.dt or transport.cfl_dt(float(np.abs(np.asarray(g.v)).max()), dx)
+
+    if args.mesh_cells and args.mesh_cells > 1:
+        mesh = bz.make_mesh([(bz.ENSEMBLE_AXIS, args.mesh_cells)])
+        collide_fn, pre = bz.make_sharded_collision_operator(
+            cfg, mesh, node_axis=None, ensemble_axis=bz.ENSEMBLE_AXIS, jit=False
+        )
+        step = transport.make_inhomogeneous_step(
+            cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen,
+            vmap_cells=False,
+        )
+    else:
+        collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+        step = transport.make_inhomogeneous_step(
+            cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen
+        )
+
+    f = transport.sod_initial_condition(cfg, args.nx)
+    print(f"\nSod 1D×3V: nx={args.nx} dx={dx:.4f} dt={dt:.4f} "
+          f"Kn={args.knudsen} Nv={args.Nv} Ns={args.Ns} impl={cfg.impl}")
+
+    run = jax.jit(lambda f, pre: jax.lax.fori_loop(
+        0, args.steps, lambda i, x: step(x, pre), f))
+
+    mass0 = float(transport.density_profile(f, g.dv).sum())
+    t0 = time.perf_counter()
+    f = run(f, pre)
+    rho = np.asarray(transport.density_profile(f, g.dv))
+    wall = time.perf_counter() - t0
+    mass1 = float(rho.sum())
+
+    print(f"{args.steps} steps in {wall:.2f}s "
+          f"({args.steps * args.nx * 2 / wall:.1f} collision evals/s aggregate)")
+    print(f"total mass: {mass0:.6f} -> {mass1:.6f} "
+          f"(rel drift {abs(mass1 - mass0) / mass0:.2e})")
+    edges = np.linspace(0, args.x_length, 9)[:-1]
+    sampled = rho[:: max(1, args.nx // 8)][:8]
+    print("density profile (8 samples):")
+    for x, r in zip(edges, sampled):
+        print(f"  x={x:.3f}: rho={r:.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Tests for the space-inhomogeneous 1D×3V solver (transport + collisions).
+
+The reference has no spatial transport (SURVEY.md section 0); these tests
+validate the Strang-split solver built on top of the collision operator:
+conservation of the advection stencil, equivalence with the homogeneous
+operator for x-uniform data, and cell-sharded (ensemble-axis) parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import boltzfft as bz
+from boltzfft import transport
+
+
+def small_cfg(**kw):
+    kw.setdefault("nv", 8)
+    kw.setdefault("ns", 6)
+    kw.setdefault("n_radial", 4)
+    kw.setdefault("impl", "rfft")
+    return bz.CollisionConfig(**kw)
+
+
+class TestAdvection:
+    def test_constant_in_x_is_fixed_point(self):
+        cfg = small_cfg()
+        g = cfg.velocity_grid
+        f_one = jnp.asarray(bz.bkw_f(g.r_squared(), 6.5))
+        f = jnp.broadcast_to(f_one, (8, *f_one.shape))
+        out = transport.advect_upwind(f, jnp.asarray(g.v), dx=0.1, dt=0.01)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(f), rtol=0, atol=1e-15)
+
+    def test_mass_conserved_per_velocity_point(self):
+        # Periodic conservative flux: the x-sum at every velocity point is
+        # exactly preserved, hence all velocity moments of the total are too.
+        cfg = small_cfg()
+        g = cfg.velocity_grid
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.random((8, cfg.nv, cfg.nv, cfg.nv)))
+        out = transport.advect_upwind(f, jnp.asarray(g.v), dx=0.05, dt=0.004)
+        np.testing.assert_allclose(
+            np.asarray(out.sum(axis=0)), np.asarray(f.sum(axis=0)), rtol=1e-13
+        )
+
+    def test_exact_shift_at_unit_cfl(self):
+        # With dt = dx / v for a single positive velocity, first-order upwind
+        # is the exact shift operator.
+        v = jnp.asarray([2.0])
+        dx = 0.25
+        dt = dx / 2.0
+        f = jnp.asarray(np.random.default_rng(1).random((8, 1, 1, 1)))
+        out = transport.advect_upwind(f, v, dx=dx, dt=dt)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.roll(f, 1, axis=0)), rtol=1e-14
+        )
+
+    def test_cfl_dt(self):
+        assert transport.cfl_dt(4.0, 0.1, safety=0.8) == pytest.approx(0.02)
+
+
+class TestStep:
+    def test_uniform_cells_match_homogeneous_rk2(self):
+        """x-uniform data: advection is a no-op, so the split step must equal
+        the plain homogeneous RK2 midpoint update cell-by-cell."""
+        cfg = small_cfg()
+        g = cfg.velocity_grid
+        collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+        f_one = jnp.asarray(bz.bkw_f(g.r_squared(), 6.5), cfg.real_dtype)
+        nx, dt, kn = 4, 0.05, 0.7
+        f = jnp.broadcast_to(f_one, (nx, *f_one.shape))
+
+        step = transport.make_inhomogeneous_step(
+            cfg, collide_fn, dx=0.1, dt=dt, knudsen=kn
+        )
+        out = np.asarray(step(f, pre))
+
+        k1 = collide_fn(f_one, pre)
+        f_mid = f_one + (0.5 * dt / kn) * k1
+        k2 = collide_fn(f_mid, pre)
+        expected = np.asarray(f_one + (dt / kn) * k2)
+        scale = np.abs(expected).max()
+        for i in range(nx):
+            np.testing.assert_allclose(out[i], expected, atol=1e-13 * scale)
+
+    def test_collisionless_step_conserves_exactly(self):
+        # In the free-streaming limit the split step reduces to two upwind
+        # half-steps plus Q ~ 0; all velocity moments of the x-total are
+        # preserved to roundoff (the stencil is conservative by construction).
+        cfg = small_cfg()
+        g = cfg.velocity_grid
+        collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+        nx = 8
+        f = transport.sod_initial_condition(cfg, nx)
+        dx = 1.0 / nx
+        dt = transport.cfl_dt(float(np.abs(np.asarray(g.v)).max()), dx)
+        step = jax.jit(
+            transport.make_inhomogeneous_step(
+                cfg, collide_fn, dx=dx, dt=dt, knudsen=1e30
+            )
+        )
+        v = jnp.asarray(g.v, cfg.real_dtype)
+        m0 = jax.tree.map(np.asarray, bz.moments(f.sum(axis=0), v, g.dv))
+        for _ in range(3):
+            f = step(f, pre)
+        m1 = jax.tree.map(np.asarray, bz.moments(f.sum(axis=0), v, g.dv))
+        assert m1.mass == pytest.approx(m0.mass, rel=1e-12)
+        np.testing.assert_allclose(m1.momentum, m0.momentum, atol=1e-12 * m0.mass)
+        assert m1.energy == pytest.approx(m0.energy, rel=1e-10)
+
+    def test_collisional_step_conserves_to_quadrature_accuracy(self):
+        # The fast spectral operator conserves moments only to quadrature
+        # accuracy (see TestPhysics.test_conservation); nv=24 is the first
+        # resolution where the T=0.8 Maxwellian stops aliasing (measured
+        # mass-moment of Q: 8e-2 at nv=8, 6e-2 at nv=16, 4e-4 at nv=24).
+        cfg = small_cfg(nv=24, n_radial=12)
+        g = cfg.velocity_grid
+        collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+        nx = 4
+        f = transport.sod_initial_condition(cfg, nx)
+        dx = 1.0 / nx
+        dt = transport.cfl_dt(float(np.abs(np.asarray(g.v)).max()), dx)
+        step = jax.jit(
+            transport.make_inhomogeneous_step(
+                cfg, collide_fn, dx=dx, dt=dt, knudsen=0.5
+            )
+        )
+        v = jnp.asarray(g.v, cfg.real_dtype)
+        m0 = jax.tree.map(np.asarray, bz.moments(f.sum(axis=0), v, g.dv))
+        for _ in range(2):
+            f = step(f, pre)
+        m1 = jax.tree.map(np.asarray, bz.moments(f.sum(axis=0), v, g.dv))
+        assert m1.mass == pytest.approx(m0.mass, rel=3e-4)
+        np.testing.assert_allclose(m1.momentum, m0.momentum, atol=1e-9 * m0.mass)
+        assert m1.energy == pytest.approx(m0.energy, rel=1e-3)
+
+    def test_sharded_cells_match_vmap(self):
+        """Cells sharded over the ensemble mesh axis == per-cell vmap."""
+        cfg = small_cfg(dtype="float32")
+        g = cfg.velocity_grid
+        nx = 8
+        f = transport.sod_initial_condition(cfg, nx)
+        dx = 1.0 / nx
+        dt = 0.5 * transport.cfl_dt(float(np.abs(np.asarray(g.v)).max()), dx)
+
+        collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+        step_ref = transport.make_inhomogeneous_step(
+            cfg, collide_fn, dx=dx, dt=dt, knudsen=1.0
+        )
+        q_ref = np.asarray(step_ref(f, pre))
+
+        mesh = bz.make_mesh([(bz.ENSEMBLE_AXIS, 4)])
+        sh_fn, sh_pre = bz.make_sharded_collision_operator(
+            cfg, mesh, node_axis=None, ensemble_axis=bz.ENSEMBLE_AXIS, jit=False
+        )
+        step_sh = transport.make_inhomogeneous_step(
+            cfg, sh_fn, dx=dx, dt=dt, knudsen=1.0, vmap_cells=False
+        )
+        q_sh = np.asarray(jax.jit(step_sh)(f, sh_pre))
+        scale = np.abs(q_ref).max()
+        np.testing.assert_allclose(q_sh, q_ref, atol=2e-6 * scale)
+
+
+class TestSodCLI:
+    def test_smoke(self, capsys):
+        from boltzfft.cli import sod_1d3v
+
+        rc = sod_1d3v.main(
+            ["--Nv", "8", "--Ns", "6", "--nx", "8", "--steps", "2",
+             "--n-radial", "4"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "rel drift" in out
+        assert "density profile" in out
