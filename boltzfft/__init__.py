@@ -28,6 +28,13 @@ from .sharding import (
 )
 from .cache import enable_compilation_cache, load_precomp, save_precomp
 from .checkpoint import RelaxCheckpointer
+from . import ds
+from .ds_operator import (
+    DsPrecomp,
+    build_ds_precomp,
+    collide_ds,
+    make_ds_collision_operator,
+)
 from .distributed import (
     initialize_distributed,
     make_multihost_mesh,
@@ -59,6 +66,11 @@ __all__ = [
     "initialize_distributed",
     "make_multihost_mesh",
     "process_local_ensemble_slice",
+    "ds",
+    "DsPrecomp",
+    "build_ds_precomp",
+    "collide_ds",
+    "make_ds_collision_operator",
     "euler_step",
     "make_mesh",
     "make_relaxation",

@@ -1,0 +1,214 @@
+"""Compensated (double-single) collision pipeline: >f32 accuracy on f32 TPUs.
+
+The 64^3 configuration's method error is 3.1e-12 (f64 CPU parity,
+``Results/maxwell_bkw_fftw_atomics.txt:197``) but TPU v5e has no float64: the
+fast paths floor at ~1.6e-8 (``fused_precision="highest"``) with the input's
+f32 quantization alone contributing 9.9e-10.  This module evaluates the
+*entire* pipeline — forward transform, per-node shifted convolutions,
+Hadamard, gain reduction, loss term, assembly (reference algorithm:
+``FFTWBoltzmannOperator.cpp:147-334``) — in double-single arithmetic
+(:mod:`boltzfft.ds`): every value is an f32 pair carrying ~49 mantissa bits,
+every table is split from host float64, and the input distribution may be
+supplied as an f64-split pair, removing the quantization floor too.
+
+Design notes (why this is not just "the dft impl in ds"):
+
+* All tables (DFT matrices, per-axis phases, beta1 rows, beta2, weights) are
+  computed in host float64 and split exactly — no device trig, no table
+  rounding (the measured 6.1e-9 table-rounding term vanishes).
+* The contraction runs on the VPU as compensated rank-1 updates: the MXU's
+  f32 accumulator is exactly the precision being escaped, so matmuls cannot
+  be used.  Cost is ~2 orders of magnitude over ``impl="fused"`` — this is
+  the opt-in accuracy instrument, not the production path.
+* beta1 depends only on the radial node, so the ns spherical nodes of one
+  radial group share one forward transform (the same hoisting the fused
+  megakernel uses; exact by linearity), and the group loop is a ``lax.scan``
+  whose xs are the per-group table slices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ds
+from . import modes as _modes
+from . import quadrature as _quad
+from .ds import CDS, DS
+from .weights import CollisionConfig, sincc
+
+
+class DsPrecomp(NamedTuple):
+    """Double-single tables, grouped by radial quadrature node.
+
+    Leading axis of the per-node tables is the radial index (scanned); the
+    second axis is the spherical-design member within the group.
+    """
+
+    ax: CDS  # (n_gl, ns, N) alpha phase factors, x axis
+    ay: CDS  # (n_gl, ns, N)
+    az: CDS  # (n_gl, ns, N)
+    gain_w: DS  # (n_gl, ns) quadrature weight w_gl * w_sph * rho^(gamma+2)
+    beta1: DS  # (n_gl, N, N, N) radial gain kernel rows
+    beta2: DS  # (N, N, N) loss multiplier
+    vfwd: CDS  # (N, N) forward DFT matrix
+    vinv: CDS  # (N, N) 1/N-normalized inverse DFT matrix
+
+
+_UPLOAD_SLICE_BYTES = 4 << 20  # remote-TPU tunnels choke on large one-shot H2D
+
+
+def _from_f64_chunked(a: np.ndarray, dtype=np.float32) -> DS:
+    """Host-split + upload in bounded slices along the leading axis.
+
+    Large single transfers can wedge remote-accelerator transports (see the
+    verify skill's tunnel notes); the per-radial-node tables at 64^3+ reach
+    ~100 MB, so both planes go up in ~4 MB pieces and are concatenated on
+    device.
+    """
+    a = np.asarray(a, np.float64)
+    hi = a.astype(dtype)
+    lo = (a - hi.astype(np.float64)).astype(dtype)
+    if a.nbytes // 2 <= _UPLOAD_SLICE_BYTES or a.ndim == 0:
+        return DS(jnp.asarray(hi), jnp.asarray(lo))
+    rows_per = max(1, _UPLOAD_SLICE_BYTES // max(1, hi[0:1].nbytes))
+
+    def up(x):
+        parts = [
+            jnp.asarray(x[i : i + rows_per])
+            for i in range(0, x.shape[0], rows_per)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
+    return DS(up(hi), up(lo))
+
+
+def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
+    """All host math in float64, split exactly into ds pairs of ``dtype``."""
+    n = cfg.nv
+    length = cfg.domain_length
+
+    gl = _quad.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
+    sph = _quad.spherical_design(cfg.ns)
+    rho = gl.nodes  # (n_gl,)
+    sigma = sph.points  # (ns, 3)
+
+    lx = _modes.fft_modes(n).astype(np.float64)  # full c2c mode order
+    coef = -np.pi / (2.0 * length)
+    # phase[r, s, l] = coef * rho_r * sigma_s[axis] * l
+    def axis_phase(axis):
+        ph = coef * rho[:, None, None] * sigma[None, :, axis, None] * lx[None, None, :]
+        return ds.cds_from_f64(np.exp(1j * ph), dtype)
+
+    gain_w = (
+        (gl.weights * rho ** (cfg.gamma + 2.0))[:, None] * sph.weights[None, :]
+    )  # (n_gl, ns)
+
+    norm_l = _modes.mode_norm_grid(lx, lx, lx)  # (N, N, N)
+    eps64 = float(np.finfo(np.float64).eps)
+    beta1 = (4.0 * np.pi * cfg.b_gamma) * sincc(
+        (np.pi / (2.0 * length)) * rho[:, None, None, None] * norm_l[None], eps64
+    )  # (n_gl, N, N, N)
+
+    radial_w = gl.weights * rho ** (cfg.gamma + 2.0)
+    arg = (np.pi / length) * rho[:, None] * norm_l.reshape(1, -1)
+    beta2 = (
+        16.0 * np.pi**2 * cfg.b_gamma * (radial_w @ sincc(arg, eps64))
+    ).reshape(norm_l.shape)
+
+    mx = np.arange(n)
+    ph = 2.0 * np.pi * np.outer(mx, mx) / n
+    return DsPrecomp(
+        ax=axis_phase(0),
+        ay=axis_phase(1),
+        az=axis_phase(2),
+        gain_w=ds.from_f64(gain_w, dtype),
+        beta1=_from_f64_chunked(beta1, dtype),
+        beta2=ds.from_f64(beta2, dtype),
+        vfwd=ds.cds_from_f64(np.exp(-1j * ph), dtype),
+        vinv=ds.cds_from_f64(np.exp(1j * ph) / n, dtype),
+    )
+
+
+def _cindex(x, idx):
+    """Apply a numpy-style index to every leaf of a DS/CDS pytree."""
+    return jax.tree.map(lambda a: a[idx], x)
+
+
+def collide_ds(
+    cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 4
+) -> DS:
+    """Q(f, f) in double-single arithmetic.  Pure and jittable.
+
+    ``f`` is a ds pair (use :func:`boltzfft.ds.from_f64` to split a host
+    float64 distribution, or :func:`boltzfft.ds.from_float` to promote a
+    device f32 array).  Returns Q as a ds pair; reconstruct with
+    :func:`boltzfft.ds.to_f64`.
+
+    ``sub_batch`` bounds how many of a radial group's ``ns`` nodes are in
+    flight at once (peak live state is ~6 complex-ds ``(sub_batch, N^3)``
+    tensors; at 64^3 each node costs ~8 MB per tensor).
+    """
+    ns = cfg.ns
+    sb = min(ns, sub_batch) if sub_batch else ns
+    f_hat = ds.transform3(ds.cds_from_real(f), pre.vfwd)
+
+    def group(acc, xs):
+        ax, ay, az, gw, b1 = xs  # per-radial-group table slices
+        s = None
+        for j0 in range(0, ns, sb):
+            sl = slice(j0, min(j0 + sb, ns))
+            # a1[s, x, y, z] = ax[s, x] * ay[s, y] * az[s, z]
+            a_yz = ds.cmul(
+                _cindex(ay, (sl, slice(None), None)),
+                _cindex(az, (sl, None, slice(None))),
+            )  # (sb, N, N)
+            a1 = ds.cmul(
+                _cindex(ax, (sl, slice(None), None, None)),
+                _cindex(a_yz, (slice(None), None, slice(None), slice(None))),
+            )  # (sb, N, N, N)
+            g1 = ds.transform3(ds.cmul(a1, f_hat), pre.vinv)
+            g2 = ds.transform3(ds.cmul(ds.cconj(a1), f_hat), pre.vinv)
+            h = ds.cmul(g1, g2)
+            # weighted group sum BEFORE the forward transform (beta1 is
+            # shared within the radial group; hoisting is exact by linearity)
+            for j in range(h.re.hi.shape[0]):
+                term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
+                s = term if s is None else ds.cadd(s, term)
+        h_hat = ds.transform3(s, pre.vfwd)
+        return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
+
+    n = cfg.nv
+    acc0 = ds.czeros((n, n, n), f.hi.dtype)
+    q_gain_hat, _ = jax.lax.scan(
+        group, acc0, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
+    )
+
+    q_gain = ds.transform3(q_gain_hat, pre.vinv).re
+    loss = ds.transform3(ds.cmul_ds(f_hat, pre.beta2), pre.vinv).re
+    return ds.sub(q_gain, ds.mul(loss, f))
+
+
+def make_ds_collision_operator(
+    cfg: CollisionConfig, jit: bool = True, dtype=np.float32, sub_batch: int = 4
+) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
+    """Build the compensated operator: ``(collide_fn, ds_precomp)``.
+
+    Same factory shape as :func:`boltzfft.make_collision_operator`;
+    ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
+    """
+    pre = build_ds_precomp(cfg, dtype)
+    fn = partial(collide_ds, cfg, sub_batch=sub_batch)
+
+    def collide_fn(f, precomp):
+        if not isinstance(f, DS):
+            f = ds.from_float(jnp.asarray(f, dtype))
+        return fn(precomp, f)
+
+    if jit:
+        collide_fn = jax.jit(collide_fn)
+    return collide_fn, pre
