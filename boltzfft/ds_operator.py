@@ -89,6 +89,8 @@ def _from_f64_chunked(a: np.ndarray, dtype=np.float32) -> DS:
 
 def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
     """All host math in float64, split exactly into ds pairs of ``dtype``."""
+    if not cfg.is_isotropic:
+        raise ValueError("the compensated (ds) pipeline requires a cubic grid")
     n = cfg.nv
     length = cfg.domain_length
 

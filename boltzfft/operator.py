@@ -155,10 +155,10 @@ def _gain_chunk(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_w):
     a1f = a1 * f_hat[None]
     a2f = jnp.conj(a1) * f_hat[None]
 
-    n = cfg.nv
+    shape = cfg.grid_shape
     if cfg.impl == "rfft":
-        g1 = jnp.fft.irfftn(a1f, s=(n, n, n), axes=_FFT_AXES)
-        g2 = jnp.fft.irfftn(a2f, s=(n, n, n), axes=_FFT_AXES)
+        g1 = jnp.fft.irfftn(a1f, s=shape, axes=_FFT_AXES)
+        g2 = jnp.fft.irfftn(a2f, s=shape, axes=_FFT_AXES)
         h_hat = jnp.fft.rfftn(g1 * g2, axes=_FFT_AXES)
     else:
         g1 = jnp.fft.ifftn(a1f, axes=_FFT_AXES)
@@ -174,7 +174,7 @@ def _gain_chunk_pallas(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, ga
     (``boltzfft.pallas_kernels``); FFTs stay on the XLA TPU FFT."""
     from . import pallas_kernels as pk
 
-    n = cfg.nv
+    n = cfg.nv  # rfft+use_pallas requires cubic (validated in CollisionConfig)
     nh = pre.lz.shape[0]
     m2 = n * nh
     ax, ay, az = _alpha_factors(cfg, pre, rho, sigma)
@@ -285,7 +285,7 @@ def collide(
     the other impls and to the sharded hook path.
     """
     f = f.astype(cfg.real_dtype)
-    n = cfg.nv
+    shape = cfg.grid_shape
     if cfg.impl == "fused" and gain_reduce is None:
         from . import pallas_kernels as pk
 
@@ -309,9 +309,9 @@ def collide(
         q_gain_hat = gain_spectrum(cfg, pre, f_hat)
         if gain_reduce is not None:
             q_gain_hat = gain_reduce(q_gain_hat)
-        q_gain = jnp.fft.irfftn(q_gain_hat, s=(n, n, n), axes=_FFT_AXES)
+        q_gain = jnp.fft.irfftn(q_gain_hat, s=shape, axes=_FFT_AXES)
         loss_conv = jnp.fft.irfftn(
-            pre.beta2.astype(f_hat.dtype) * f_hat, s=(n, n, n), axes=_FFT_AXES
+            pre.beta2.astype(f_hat.dtype) * f_hat, s=shape, axes=_FFT_AXES
         )
     else:  # "c2c" and "dft": full complex spectrum pipeline
         f_hat = jnp.fft.fftn(f.astype(cfg.complex_dtype), axes=_FFT_AXES)

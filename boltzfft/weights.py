@@ -66,8 +66,13 @@ class CollisionConfig:
     ``gamma=0, b_gamma=1/(4 pi)`` (``maxwell_bkw_fftw.cpp:54-55``).
     """
 
-    nv: int = 32  # velocity grid points per axis
+    nv: int = 32  # velocity grid points, x axis (all axes unless nvy/nvz given)
     ns: int = 12  # spherical design size (see quadrature.SPHERICAL_DESIGN_FILES)
+    # Anisotropic per-axis resolutions (reference operator signature
+    # FFTWBoltzmannOperator.hpp:32 takes Nvx/Nvy/Nvz); None = nv.  Supported
+    # by the rfft/c2c pipelines; dft/fused require a cubic grid.
+    nvy: Optional[int] = None
+    nvz: Optional[int] = None
     n_radial: Optional[int] = None  # Gauss-Legendre points; default nv
     gamma: float = 0.0
     b_gamma: float = 1.0 / (4.0 * math.pi)
@@ -104,6 +109,8 @@ class CollisionConfig:
             )
         if self.use_pallas and self.impl != "rfft":
             raise ValueError("use_pallas requires impl='rfft'")
+        if self.use_pallas and not self.is_isotropic:
+            raise ValueError("use_pallas requires a cubic grid")
         if self.fused_precision not in ("default", "highest"):
             raise ValueError(
                 f"fused_precision must be 'default' or 'highest', got "
@@ -116,8 +123,14 @@ class CollisionConfig:
             )
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be float32/float64, got {self.dtype!r}")
-        if self.nv % 2 != 0:
-            raise ValueError("nv must be even (FFT mode ordering)")
+        for name, n in (("nv", self.nv), ("nvy", self.nvy), ("nvz", self.nvz)):
+            if n is not None and n % 2 != 0:
+                raise ValueError(f"{name} must be even (FFT mode ordering)")
+        if not self.is_isotropic and self.impl in ("dft", "fused"):
+            raise ValueError(
+                f"impl={self.impl!r} requires a cubic grid; use 'rfft' or "
+                "'c2c' for anisotropic resolutions"
+            )
         if self.ns not in _quad.SPHERICAL_DESIGN_FILES:
             raise ValueError(
                 f"No spherical design with {self.ns} points; available: "
@@ -125,6 +138,15 @@ class CollisionConfig:
             )
 
     # ---- derived static quantities -------------------------------------
+    @property
+    def grid_shape(self) -> tuple:
+        return (self.nv, self.nvy or self.nv, self.nvz or self.nv)
+
+    @property
+    def is_isotropic(self) -> bool:
+        s = self.grid_shape
+        return s[0] == s[1] == s[2]
+
     @property
     def n_gl(self) -> int:
         return self.n_radial if self.n_radial is not None else self.nv
@@ -164,9 +186,8 @@ class CollisionConfig:
         """
         if budget_bytes is None:
             budget_bytes = _device_hbm_budget()
-        n_modes = self.nv * self.nv * (
-            self.nv // 2 + 1 if self.impl == "rfft" else self.nv
-        )
+        nx, ny, nz = self.grid_shape
+        n_modes = nx * ny * (nz // 2 + 1 if self.impl == "rfft" else nz)
         itemsize = 16 if self.dtype == "float64" else 8
         # ~6 pipeline arrays plus ~3 equivalents of XLA FFT workspace
         per_node = 9 * n_modes * itemsize
@@ -194,7 +215,9 @@ class CollisionConfig:
 
     @property
     def velocity_grid(self) -> _grid.VelocityGrid:
-        return _grid.VelocityGrid(nv=self.nv, length=self.domain_length)
+        return _grid.VelocityGrid(
+            nv=self.nv, length=self.domain_length, nvy=self.nvy, nvz=self.nvz
+        )
 
 
 class Precomp(NamedTuple):
@@ -253,9 +276,10 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
         sigma = np.concatenate([sigma, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
         gain_w = np.concatenate([gain_w, np.zeros(pad)])
 
-    lx = _modes.fft_modes(n)
-    ly = lx
-    lz = _modes.rfft_modes(n) if cfg.impl == "rfft" else lx
+    nx, ny, nz = cfg.grid_shape
+    lx = _modes.fft_modes(nx)
+    ly = _modes.fft_modes(ny)
+    lz = _modes.rfft_modes(nz) if cfg.impl == "rfft" else _modes.fft_modes(nz)
     norm_l = _modes.mode_norm_grid(lx, ly, lz)
 
     # Matmul-form DFT matrices (impl="dft"): F[m, x] = exp(-2 pi i m x / N),

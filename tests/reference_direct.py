@@ -28,15 +28,12 @@ def direct_collision(
     b_gamma: float = 1.0 / (4.0 * np.pi),
 ) -> np.ndarray:
     """O(B) loop over quadrature nodes; unnormalized-forward FFT convention
-    with explicit 1/N scaling, exactly like the reference."""
-    n = f.shape[0]
-    grid_size = n**3
-    fft_scale = 1.0 / grid_size
-
-    l1 = np.fft.fftfreq(n, 1.0 / n)
-    lx = l1[:, None, None]
-    ly = l1[None, :, None]
-    lz = l1[None, None, :]
+    with explicit 1/N scaling, exactly like the reference.  Supports
+    anisotropic grids (per-axis mode tables from ``f.shape``)."""
+    nx, ny, nz = f.shape
+    lx = np.fft.fftfreq(nx, 1.0 / nx)[:, None, None]
+    ly = np.fft.fftfreq(ny, 1.0 / ny)[None, :, None]
+    lz = np.fft.fftfreq(nz, 1.0 / nz)[None, None, :]
     norm_l = np.sqrt(lx**2 + ly**2 + lz**2)
 
     f_hat = np.fft.fftn(f.astype(np.complex128))

@@ -1,0 +1,110 @@
+"""Anisotropic velocity grids (Nvx != Nvy != Nvz).
+
+The reference operator is constructed with separate per-axis resolutions
+(``FFTWBoltzmannOperator.hpp:32``) although its drivers only run cubic grids;
+these tests exercise the per-axis mode-table plumbing against the independent
+direct-sum oracle.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import boltzfft as bz
+from tests.reference_direct import direct_collision
+
+
+class TestConfig:
+    def test_fused_rejects_anisotropic(self):
+        with pytest.raises(ValueError, match="cubic"):
+            bz.CollisionConfig(nv=8, nvy=10, ns=6, impl="fused")
+
+    def test_dft_rejects_anisotropic(self):
+        with pytest.raises(ValueError, match="cubic"):
+            bz.CollisionConfig(nv=8, nvz=10, ns=6, impl="dft")
+
+    def test_odd_axis_rejected(self):
+        with pytest.raises(ValueError, match="nvy"):
+            bz.CollisionConfig(nv=8, nvy=7, ns=6)
+
+    def test_ds_rejects_anisotropic(self):
+        cfg = bz.CollisionConfig(nv=8, nvy=10, ns=6, impl="c2c")
+        with pytest.raises(ValueError, match="cubic"):
+            bz.build_ds_precomp(cfg)
+
+    def test_grid_properties(self):
+        g = bz.VelocityGrid(nv=8, length=2.0, nvy=16, nvz=4)
+        assert g.shape == (8, 16, 4)
+        assert not g.is_isotropic
+        assert g.dvs == (0.5, 0.25, 1.0)
+        assert g.cell_volume == pytest.approx(0.125)
+        with pytest.raises(ValueError, match="anisotropic"):
+            g.dv
+        assert g.r_squared().shape == (8, 16, 4)
+
+    def test_explicit_cubic_matches_default(self):
+        cfg_a = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="rfft")
+        cfg_b = bz.CollisionConfig(nv=8, nvy=8, nvz=8, ns=6, n_radial=4,
+                                   impl="rfft")
+        ca, pa = bz.make_collision_operator(cfg_a)
+        cb, pb = bz.make_collision_operator(cfg_b)
+        f = np.asarray(bz.bkw_f(cfg_a.velocity_grid.r_squared(), 6.5))
+        np.testing.assert_array_equal(
+            np.asarray(ca(jnp.asarray(f), pa)), np.asarray(cb(jnp.asarray(f), pb))
+        )
+
+
+class TestParity:
+    @pytest.mark.parametrize("impl", ["rfft", "c2c"])
+    def test_direct_sum_parity(self, impl):
+        """Anisotropic operator vs the independent O(B) NumPy oracle."""
+        cfg = bz.CollisionConfig(
+            nv=8, nvy=12, nvz=10, ns=6, n_radial=4, impl=impl, dtype="float64"
+        )
+        g = cfg.velocity_grid
+        f = np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64)
+
+        from boltzfft import quadrature as quad
+
+        gl = quad.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
+        sph = quad.spherical_design(cfg.ns)
+        q_direct = direct_collision(
+            f, gl.nodes, gl.weights, sph.points, sph.weights,
+            cfg.domain_length, gamma=cfg.gamma, b_gamma=cfg.b_gamma,
+        )
+
+        coll, pre = bz.make_collision_operator(cfg)
+        q = np.asarray(coll(jnp.asarray(f), pre))
+        scale = np.abs(q_direct).max()
+        np.testing.assert_allclose(q, q_direct, atol=1e-12 * scale)
+
+    def test_node_chunking_invariant(self):
+        cfg_full = bz.CollisionConfig(nv=8, nvy=12, nvz=10, ns=6, n_radial=4,
+                                      impl="rfft", dtype="float64")
+        cfg_chunk = bz.CollisionConfig(nv=8, nvy=12, nvz=10, ns=6, n_radial=4,
+                                       impl="rfft", dtype="float64",
+                                       node_chunk=5)
+        cf, pf = bz.make_collision_operator(cfg_full)
+        cc, pc = bz.make_collision_operator(cfg_chunk)
+        f = jnp.asarray(bz.bkw_f(cfg_full.velocity_grid.r_squared(), 6.5))
+        qf = np.asarray(cf(f, pf))
+        qc = np.asarray(cc(f, pc))
+        np.testing.assert_allclose(qc, qf, atol=1e-13 * np.abs(qf).max())
+
+    def test_bkw_accuracy_tracks_coarsest_axis(self):
+        """Mixed (32, 16, 16) error is dominated by the coarse axes: far
+        worse than 32^3, same decade as 16^3 (slightly above it is expected —
+        anisotropic truncation adds cross terms)."""
+        errs = {}
+        for shape in [(16, None, None), (32, None, None), (32, 16, 16)]:
+            nv, nvy, nvz = shape
+            cfg = bz.CollisionConfig(nv=nv, nvy=nvy, nvz=nvz, ns=12,
+                                     n_radial=16, impl="rfft", dtype="float64")
+            g = cfg.velocity_grid
+            coll, pre = bz.make_collision_operator(cfg)
+            f = jnp.asarray(bz.bkw_f(g.r_squared(), 6.5))
+            q = np.asarray(coll(f, pre))
+            q_exact = np.asarray(bz.bkw_dfdt(g.r_squared(), 6.5))
+            errs[shape] = np.abs(q - q_exact).max()
+        assert errs[(32, None, None)] < 0.1 * errs[(32, 16, 16)]
+        assert errs[(32, 16, 16)] <= 2.0 * errs[(16, None, None)]
