@@ -26,9 +26,10 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
         help="compute dtype (default: float64 if the backend supports it)",
     )
     p.add_argument(
-        "--impl", choices=["rfft", "c2c", "dft", "fused"], default="rfft",
+        "--impl", choices=["rfft", "c2c", "dft", "fused", "ds"], default="rfft",
         help="pipeline: rfft (real transforms, default), c2c (reference-"
-             "faithful), dft (MXU einsums), fused (Pallas megakernel)",
+             "faithful), dft (MXU einsums), fused (Pallas megakernel), "
+             "ds (compensated double-single: f64-class accuracy on f32 TPUs)",
     )
     p.add_argument(
         "--node-chunk", type=int, default=None,

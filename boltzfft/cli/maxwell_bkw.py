@@ -36,6 +36,12 @@ def main(argv=None):
     print(f"trials = {args.trials}")
     print(f"dtype = {dtype}, impl = {args.impl}")
 
+    if args.impl == "ds":
+        if args.steps > 0:
+            print("error: --impl ds supports single-eval mode only", file=sys.stderr)
+            return 2
+        return _run_ds(args)
+
     # Maxwell molecules by default (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
     cfg = bz.CollisionConfig(
         nv=args.Nv, ns=args.Ns, impl=args.impl, dtype=dtype,
@@ -96,6 +102,55 @@ def main(argv=None):
     print(f"L1 error: {err['L1']:.6g}")
     print(f"L2 error: {err['L2']:.6g}")
     print(f"Linf error: {err['Linf']:.6g}\n")
+    return 0
+
+
+def _run_ds(args):
+    """Compensated double-single evaluation: f64-class BKW errors on f32-only
+    accelerators (``boltzfft.ds_operator``).  The input is split exactly from
+    host float64 and the error norms are reduced on device in ds arithmetic."""
+    import jax
+    import jax.numpy as jnp
+
+    import boltzfft as bz
+    from boltzfft import ds
+    from boltzfft.cli import vhs_kwargs
+
+    cfg = bz.CollisionConfig(
+        nv=args.Nv, ns=args.Ns, impl="c2c", dtype="float32",
+        n_radial=args.n_radial, **vhs_kwargs(args),
+    )
+    g = cfg.velocity_grid
+    rsq = g.r_squared()
+    f_ds = ds.from_f64(np.asarray(bz.bkw_f(rsq, 6.5), np.float64))
+    q_ex = ds.from_f64(np.asarray(bz.bkw_dfdt(rsq, 6.5), np.float64))
+    dv3 = g.dv ** 3
+
+    t0 = time.perf_counter()
+    collide_fn, pre = bz.make_ds_collision_operator(cfg, jit=False)
+
+    @jax.jit
+    def run(f, pre, qex):
+        q = collide_fn(f, pre)
+        d = ds.sub(q, qex)
+        ad = jnp.abs(d.hi + d.lo)
+        return dv3 * jnp.sum(ad), jnp.sqrt(dv3 * jnp.sum(ad * ad)), jnp.max(ad)
+
+    l1, l2, linf = [float(x) for x in run(f_ds, pre, q_ex)]
+    print(f"Initialization time (s): {time.perf_counter() - t0:.6g} seconds")
+
+    times = []
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        out = run(f_ds, pre, q_ex)
+        _ = [float(x) for x in out]
+        times.append(time.perf_counter() - t0)
+    print(bz.RunStats.from_times(times).summary("boltzfft/ds"))
+
+    print("Approximation errors:")
+    print(f"L1 error: {l1:.6g}")
+    print(f"L2 error: {l2:.6g}")
+    print(f"Linf error: {linf:.6g}\n")
     return 0
 
 

@@ -44,6 +44,23 @@ class TestMaxwellBKW:
         assert main(["--Nv", "8", "--Ns", "6", "--impl", "c2c"]) == 0
         assert "impl = c2c" in capsys.readouterr().out
 
+    def test_ds_impl(self, capsys):
+        # compensated pipeline end-to-end; at 8^3 the ds result equals the
+        # f64 method error, which the f32 paths cannot reach
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "8", "--Ns", "6", "--n-radial", "4",
+                     "--impl", "ds"]) == 0
+        out = capsys.readouterr().out
+        assert "Statistics for boltzfft/ds" in out
+        assert "Linf error:" in out
+
+    def test_ds_impl_rejects_relaxation(self, capsys):
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "8", "--Ns", "6", "--impl", "ds",
+                     "--steps", "2"]) == 2
+
 
 class TestFFTBenchmark:
     def test_runs(self, capsys):
