@@ -41,6 +41,7 @@ from .distributed import (
     process_local_ensemble_slice,
 )
 from .stats import RunStats, error_norms, error_norms_device, time_fn, trace
+from .tune import autotune_fused
 from .timestepper import (
     Trajectory,
     euler_step,
@@ -66,6 +67,7 @@ __all__ = [
     "initialize_distributed",
     "make_multihost_mesh",
     "process_local_ensemble_slice",
+    "autotune_fused",
     "ds",
     "DsPrecomp",
     "build_ds_precomp",
