@@ -255,6 +255,49 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
     return acc
 
 
+def _fused_io_collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray):
+    """The fully-in-kernel ct-scheme eval (one Pallas launch, Q out)."""
+    from . import pallas_kernels as pk
+
+    ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
+    return pk.fused_collide(
+        pre.rho, pre.gain_w, ax, ay, az, f, pre.beta2,
+        pre.dft_inv, pre.dft_fwd, pre.norm_l,
+        length=cfg.domain_length, b_gamma=cfg.b_gamma,
+        nodes_per_step=cfg.fused_nodes_per_step,
+        radial_group=cfg.ns,
+        precision=cfg.fused_precision,
+        radix=cfg.fused_radix,
+        sub_batch=cfg.fused_sub_batch,
+    ).astype(cfg.real_dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_io_diff(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray):
+    """Differentiable wrapper: Pallas has no VJP rule, so the backward pass
+    reruns the *staged c2c* pipeline (same ``Precomp`` — the fused precomp
+    carries full-spectrum mode tables and is c2c-compatible) and lets XLA
+    differentiate it.  Forward stays the megakernel; gradients carry staged
+    accuracy (parity-tested at 1e-12 against fused forward values)."""
+    return _fused_io_collide(cfg, pre, f)
+
+
+def _fused_io_fwd(cfg, pre, f):
+    return _fused_io_collide(cfg, pre, f), (pre, f)
+
+
+def _fused_io_bwd(cfg, res, ct):
+    import dataclasses
+
+    pre, f = res
+    staged_cfg = dataclasses.replace(cfg, impl="c2c")
+    _, vjp_fn = jax.vjp(lambda p, x: collide(staged_cfg, p, x), pre, f)
+    return vjp_fn(ct)
+
+
+_fused_io_diff.defvjp(_fused_io_fwd, _fused_io_bwd)
+
+
 def collide(
     cfg: CollisionConfig,
     pre: Precomp,
@@ -293,17 +336,7 @@ def collide(
         if scheme == "auto":
             scheme = "ct" if pk._ct_pick_radix(cfg.nv) else "kron"
         if scheme == "ct":
-            ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
-            return pk.fused_collide(
-                pre.rho, pre.gain_w, ax, ay, az, f, pre.beta2,
-                pre.dft_inv, pre.dft_fwd, pre.norm_l,
-                length=cfg.domain_length, b_gamma=cfg.b_gamma,
-                nodes_per_step=cfg.fused_nodes_per_step,
-                radial_group=cfg.ns,
-                precision=cfg.fused_precision,
-                radix=cfg.fused_radix,
-                sub_batch=cfg.fused_sub_batch,
-            ).astype(cfg.real_dtype)
+            return _fused_io_diff(cfg, pre, f)
     if cfg.impl == "rfft":
         f_hat = jnp.fft.rfftn(f, axes=_FFT_AXES)
         q_gain_hat = gain_spectrum(cfg, pre, f_hat)
