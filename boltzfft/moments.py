@@ -21,20 +21,30 @@ class Moments(NamedTuple):
     temperature: jnp.ndarray  # T = (2E/rho - |u|^2) / 3
 
 
-def moments(f: jnp.ndarray, v: jnp.ndarray, dv: float) -> Moments:
+def moments(f: jnp.ndarray, v, dv: float | None = None, *,
+            cell_volume: float | None = None) -> Moments:
     """Compute moments of ``f`` on the tensor grid with 1-D coordinates ``v``.
 
-    ``f`` has shape (..., N, N, N) — leading axes (e.g. an ensemble axis) are
-    broadcast through.
+    ``f`` has shape (..., Nx, Ny, Nz) — leading axes (e.g. an ensemble axis)
+    are broadcast through.  ``v`` is the shared 1-D coordinate array (cubic
+    grids) or a ``(vx, vy, vz)`` tuple (anisotropic grids, in which case pass
+    ``cell_volume`` from ``VelocityGrid.cell_volume`` instead of ``dv``).
     """
-    w = dv**3
+    if isinstance(v, (tuple, list)):
+        vx, vy, vz = v
+        if cell_volume is None:
+            raise ValueError("anisotropic moments need cell_volume, not dv")
+        w = cell_volume
+    else:
+        vx = vy = vz = v
+        w = cell_volume if cell_volume is not None else dv**3
     mass = jnp.sum(f, axis=(-3, -2, -1)) * w
-    mx = jnp.sum(f * v[:, None, None], axis=(-3, -2, -1)) * w
-    my = jnp.sum(f * v[None, :, None], axis=(-3, -2, -1)) * w
-    mz = jnp.sum(f * v[None, None, :], axis=(-3, -2, -1)) * w
+    mx = jnp.sum(f * vx[:, None, None], axis=(-3, -2, -1)) * w
+    my = jnp.sum(f * vy[None, :, None], axis=(-3, -2, -1)) * w
+    mz = jnp.sum(f * vz[None, None, :], axis=(-3, -2, -1)) * w
     momentum = jnp.stack([mx, my, mz], axis=-1)
     r_sq = (
-        v[:, None, None] ** 2 + v[None, :, None] ** 2 + v[None, None, :] ** 2
+        vx[:, None, None] ** 2 + vy[None, :, None] ** 2 + vz[None, None, :] ** 2
     )
     energy = 0.5 * jnp.sum(f * r_sq, axis=(-3, -2, -1)) * w
     u_sq = jnp.sum((momentum / mass[..., None]) ** 2, axis=-1)

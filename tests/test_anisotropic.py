@@ -54,6 +54,30 @@ class TestConfig:
         )
 
 
+class TestMoments:
+    def test_anisotropic_moments_match_cubic_values(self):
+        # A Maxwellian's moments are resolution-independent once resolved:
+        # compare the anisotropic-grid moments to the analytic values.
+        from boltzfft.bkw import maxwellian
+
+        g = bz.VelocityGrid(nv=32, length=8.0, nvy=24, nvz=16)
+        m = jnp.asarray(maxwellian(g.r_squared(), density=1.0, temperature=1.0))
+        mom = bz.moments(
+            m, (jnp.asarray(g.vx), jnp.asarray(g.vy), jnp.asarray(g.vz)),
+            cell_volume=g.cell_volume,
+        )
+        assert float(mom.mass) == pytest.approx(1.0, rel=1e-6)
+        assert float(jnp.abs(mom.momentum).max()) < 1e-10
+        assert float(mom.temperature) == pytest.approx(1.0, rel=1e-5)
+
+    def test_anisotropic_requires_cell_volume(self):
+        g = bz.VelocityGrid(nv=8, length=2.0, nvy=16)
+        f = jnp.zeros(g.shape)
+        with pytest.raises(ValueError, match="cell_volume"):
+            bz.moments(f, (jnp.asarray(g.vx), jnp.asarray(g.vy),
+                           jnp.asarray(g.vz)), dv=0.1)
+
+
 class TestParity:
     @pytest.mark.parametrize("impl", ["rfft", "c2c"])
     def test_direct_sum_parity(self, impl):
