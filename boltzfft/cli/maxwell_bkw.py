@@ -37,9 +37,6 @@ def main(argv=None):
     print(f"dtype = {dtype}, impl = {args.impl}")
 
     if args.impl == "ds":
-        if args.steps > 0:
-            print("error: --impl ds supports single-eval mode only", file=sys.stderr)
-            return 2
         return _run_ds(args)
 
     # Maxwell molecules by default (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
@@ -128,6 +125,26 @@ def _run_ds(args):
 
     t0 = time.perf_counter()
     collide_fn, pre = bz.make_ds_collision_operator(cfg, jit=False)
+
+    if args.steps > 0:
+        # ds relaxation: the f32-pair state tracks an f64 integration
+        t_end = args.t0 + args.steps * args.dt
+        f0 = ds.from_f64(np.asarray(bz.bkw_f(rsq, args.t0), np.float64))
+        run = bz.make_relaxation(
+            collide_fn, pre, dt=args.dt, n_steps=args.steps, method="rk4"
+        )
+        traj = run(f0)
+        f_exact = ds.from_f64(np.asarray(bz.bkw_f(rsq, t_end), np.float64))
+        d = ds.sub(traj.f, f_exact)
+        ad = jnp.abs(d.hi + d.lo)
+        print(f"Relaxation (ds): {args.steps} RK4 steps of dt={args.dt} "
+              f"(t {args.t0} -> {t_end}), compile+run "
+              f"{time.perf_counter() - t0:.3g}s")
+        print("Relaxation errors vs analytic BKW f(t_end):")
+        print(f"L1 error: {float(dv3 * jnp.sum(ad)):.6g}")
+        print(f"L2 error: {float(jnp.sqrt(dv3 * jnp.sum(ad * ad))):.6g}")
+        print(f"Linf error: {float(jnp.max(ad)):.6g}\n")
+        return 0
 
     @jax.jit
     def run(f, pre, qex):

@@ -640,6 +640,17 @@ def _fused_gain_ct(
     n2 = n * n
     io = f is not None
 
+    # VMEM ceiling: the kernel keeps ~14 (N, N^2) f32 planes live at peak
+    # (f_hat + gain accumulators + io scratches + transform temps).  Past
+    # ~100 MB Mosaic's scoped vmem OOMs (measured: 128^3 wants 226 MB) —
+    # fail at trace time with the actionable alternative instead.
+    if not _interpret() and 14 * n * n2 * 4 > (100 << 20):
+        raise ValueError(
+            f"nv={n} exceeds the fused megakernel's VMEM working set "
+            f"(~{14 * n * n2 * 4 >> 20} MB needed); use impl='rfft' (chunked "
+            "staged pipeline) for grids beyond ~96^3"
+        )
+
     c, cc, gs = _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch)
     if b % c:
         pad = c - b % c

@@ -5,6 +5,11 @@ single-eval driver (``maxwell_bkw_fftw.cpp`` has no time loop) to a jitted
 relaxation loop with on-device moments.  Steppers are classic explicit RK
 schemes expressed as pure functions; the relaxation loop is a ``lax.scan`` so
 the whole trajectory compiles into one XLA program with no host round-trips.
+
+The steppers are generic over the state algebra: plain arrays use hardware
+arithmetic, and :class:`boltzfft.ds.DS` states (the compensated pipeline)
+use double-single add/scale — so a whole relaxation can run at f64-class
+accuracy on an f32-only accelerator.
 """
 
 from __future__ import annotations
@@ -13,26 +18,43 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from . import ds as _ds
 
 RHS = Callable[[jnp.ndarray], jnp.ndarray]
 
 
-def euler_step(rhs: RHS, f: jnp.ndarray, dt: float) -> jnp.ndarray:
-    return f + dt * rhs(f)
+def _axpy(f, a: float, k):
+    """``f + a * k`` in the state's own arithmetic."""
+    if isinstance(f, _ds.DS):
+        # the scalar must be split too: fl32(dt/6) alone costs 2^-24 relative
+        # per stage, swamping the ds state's 2^-48
+        return _ds.add(f, _ds.mul(k, _ds.from_f64(np.float64(a), k.hi.dtype)))
+    return f + a * k
 
 
-def rk2_step(rhs: RHS, f: jnp.ndarray, dt: float) -> jnp.ndarray:
+def euler_step(rhs: RHS, f, dt: float):
+    return _axpy(f, dt, rhs(f))
+
+
+def rk2_step(rhs: RHS, f, dt: float):
     """Midpoint (SSP-friendly 2nd order) step."""
     k1 = rhs(f)
-    return f + dt * rhs(f + 0.5 * dt * k1)
+    return _axpy(f, dt, rhs(_axpy(f, 0.5 * dt, k1)))
 
 
-def rk4_step(rhs: RHS, f: jnp.ndarray, dt: float) -> jnp.ndarray:
+def rk4_step(rhs: RHS, f, dt: float):
     """Classic 4th-order Runge-Kutta step."""
     k1 = rhs(f)
-    k2 = rhs(f + 0.5 * dt * k1)
-    k3 = rhs(f + 0.5 * dt * k2)
-    k4 = rhs(f + dt * k3)
+    k2 = rhs(_axpy(f, 0.5 * dt, k1))
+    k3 = rhs(_axpy(f, 0.5 * dt, k2))
+    k4 = rhs(_axpy(f, dt, k3))
+    if isinstance(f, _ds.DS):
+        out = _axpy(f, dt / 6.0, k1)
+        out = _axpy(out, dt / 3.0, k2)
+        out = _axpy(out, dt / 3.0, k3)
+        return _axpy(out, dt / 6.0, k4)
     return f + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
 

@@ -55,11 +55,14 @@ class TestMaxwellBKW:
         assert "Statistics for boltzfft/ds" in out
         assert "Linf error:" in out
 
-    def test_ds_impl_rejects_relaxation(self, capsys):
+    def test_ds_impl_relaxation(self, capsys):
         from boltzfft.cli.maxwell_bkw import main
 
-        assert main(["--Nv", "8", "--Ns", "6", "--impl", "ds",
-                     "--steps", "2"]) == 2
+        assert main(["--Nv", "8", "--Ns", "6", "--n-radial", "4",
+                     "--impl", "ds", "--steps", "2", "--dt", "0.25"]) == 0
+        out = capsys.readouterr().out
+        assert "Relaxation (ds): 2 RK4 steps" in out
+        assert "Linf error:" in out
 
 
 class TestFFTBenchmark:
