@@ -234,22 +234,40 @@ def _row(m: DS, k):
     return DS(hi, lo)
 
 
-def contract_last(x: CDS, m: CDS) -> CDS:
+def contract_last(x: CDS, m: CDS, block: int = 1) -> CDS:
     """``out[..., l] = sum_k x[..., k] * m[k, l]`` in full ds arithmetic.
 
     The contraction runs as a ``fori_loop`` of rank-1 updates (VPU elementwise
     work — the compensated accumulation cannot ride the MXU, whose f32
-    accumulator is exactly the precision being escaped)."""
+    accumulator is exactly the precision being escaped).  ``block`` rank-1
+    updates are unrolled per loop iteration, fusing into one accumulator pass
+    (divides the dominant HBM read-modify-write cost by ``block``) at the
+    price of a much larger loop body: XLA:CPU compile time explodes past
+    block≈4 on the full pipeline (measured 20 s -> >900 s at block=8), so the
+    default stays 1; the update order — hence the bits — is identical for
+    every block.
+    """
     n = m.re.hi.shape[0]
     out_shape = x.re.hi.shape[:-1] + (m.re.hi.shape[1],)
     acc0 = czeros(out_shape, x.re.hi.dtype)
 
-    def body(k, acc):
+    def update(k, acc):
         xk = CDS(_index_last(x.re, k), _index_last(x.im, k))  # (..., 1)
         mk = CDS(_row(m.re, k), _row(m.im, k))  # (M,)
         return cadd(acc, cmul(xk, mk))
 
-    return jax.lax.fori_loop(0, n, body, acc0)
+    b = max(1, min(block, n))
+
+    def body(j, acc):
+        k0 = j * b
+        for t in range(b):  # unrolled: one fused accumulator pass
+            acc = update(k0 + t, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n // b, body, acc0)
+    for k in range(n - n % b, n):  # remainder
+        acc = update(k, acc)
+    return acc
 
 
 def _swap_last2(x: CDS) -> CDS:
