@@ -24,7 +24,7 @@ test suite checks the invariants numerically on every backend.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -280,13 +280,25 @@ def _roll_axis(x: CDS, src: int, dst: int) -> CDS:
     return CDS(DS(f(x.re.hi), f(x.re.lo)), DS(f(x.im.hi), f(x.im.lo)))
 
 
-def transform3(x: CDS, m: CDS) -> CDS:
+def default_contract_block() -> int:
+    """Backend-tuned ``block`` for :func:`contract_last`.
+
+    Bit-identical numerics either way; this is purely a compiler trade.
+    Measured on the full pipeline at 32^3: TPU block=4 compiles 8x faster
+    (309 s -> 40 s) AND runs 1.14x faster than block=1, while XLA:CPU's
+    compile time explodes with unrolled bodies (>900 s at block=8).
+    """
+    return 4 if jax.default_backend() == "tpu" else 1
+
+
+def transform3(x: CDS, m: CDS, block: Optional[int] = None) -> CDS:
     """Separable 3-D transform of the trailing (N, N, N) axes with the shared
     (N, N) ds matrix ``m`` (the ds analog of ``operator._dft3``)."""
+    b = default_contract_block() if block is None else block
     # z (last) axis
-    x = contract_last(x, m)
+    x = contract_last(x, m, block=b)
     # y axis
-    x = _swap_last2(contract_last(_swap_last2(x), m))
+    x = _swap_last2(contract_last(_swap_last2(x), m, block=b))
     # x axis
-    x = _roll_axis(contract_last(_roll_axis(x, -3, -1), m), -1, -3)
+    x = _roll_axis(contract_last(_roll_axis(x, -3, -1), m, block=b), -1, -3)
     return x
