@@ -138,6 +138,23 @@ class TestPipeline:
         rel = np.abs(ds.to_f64(q) - q_ref).max() / np.abs(q_ref).max()
         assert rel < 1e-12
 
+    def test_vhs_hard_sphere_parity(self):
+        # gamma/b_gamma flow through the ds tables (beta1/beta2/gain_w)
+        import math
+
+        kw = dict(nv=8, ns=6, n_radial=4, impl="c2c", gamma=1.0,
+                  b_gamma=1.0 / (4.0 * math.pi))
+        cfg64 = bz.CollisionConfig(dtype="float64", **kw)
+        coll, pre = bz.make_collision_operator(cfg64)
+        g = cfg64.velocity_grid
+        f64arr = np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64)
+        q_ref = np.asarray(coll(jnp.asarray(f64arr), pre))
+        coll_ds, pre_ds = make_ds_collision_operator(
+            bz.CollisionConfig(dtype="float32", **kw))
+        q_ds = ds.to_f64(coll_ds(ds.from_f64(f64arr), pre_ds))
+        rel = np.abs(q_ds - q_ref).max() / np.abs(q_ref).max()
+        assert rel < 1e-12
+
     @pytest.mark.slow
     def test_nv16_parity(self):
         cfg = bz.CollisionConfig(nv=16, ns=12, n_radial=8, impl="c2c",
