@@ -29,7 +29,7 @@ Design notes (why this is not just "the dft impl in ds"):
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ import numpy as np
 
 from . import ds
 from . import modes as _modes
+from . import oz
 from . import quadrature as _quad
 from .ds import CDS, DS
 from .weights import CollisionConfig, sincc
@@ -57,6 +58,8 @@ class DsPrecomp(NamedTuple):
     beta2: DS  # (N, N, N) loss multiplier
     vfwd: CDS  # (N, N) forward DFT matrix
     vinv: CDS  # (N, N) 1/N-normalized inverse DFT matrix
+    vfwd_sl: oz.CSlicedMatrix  # bf16 mantissa slices for contract="oz"
+    vinv_sl: oz.CSlicedMatrix
 
 
 _UPLOAD_SLICE_BYTES = 4 << 20  # remote-TPU tunnels choke on large one-shot H2D
@@ -124,6 +127,8 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
 
     mx = np.arange(n)
     ph = 2.0 * np.pi * np.outer(mx, mx) / n
+    vfwd64 = np.exp(-1j * ph)
+    vinv64 = np.exp(1j * ph) / n
     return DsPrecomp(
         ax=axis_phase(0),
         ay=axis_phase(1),
@@ -131,8 +136,10 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
         gain_w=ds.from_f64(gain_w, dtype),
         beta1=_from_f64_chunked(beta1, dtype),
         beta2=ds.from_f64(beta2, dtype),
-        vfwd=ds.cds_from_f64(np.exp(-1j * ph), dtype),
-        vinv=ds.cds_from_f64(np.exp(1j * ph) / n, dtype),
+        vfwd=ds.cds_from_f64(vfwd64, dtype),
+        vinv=ds.cds_from_f64(vinv64, dtype),
+        vfwd_sl=oz.slice_matrix(vfwd64),
+        vinv_sl=oz.slice_matrix(vinv64),
     )
 
 
@@ -142,7 +149,8 @@ def _cindex(x, idx):
 
 
 def collide_ds(
-    cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 4
+    cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 4,
+    contract: str = "vpu",
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -154,10 +162,23 @@ def collide_ds(
     ``sub_batch`` bounds how many of a radial group's ``ns`` nodes are in
     flight at once (peak live state is ~6 complex-ds ``(sub_batch, N^3)``
     tensors; at 64^3 each node costs ~8 MB per tensor).
+
+    ``contract`` picks the transform engine: ``"vpu"`` = compensated rank-1
+    updates (bit-exact ds reference), ``"oz"`` = Ozaki-scheme sliced bf16
+    matmuls on the MXU (:mod:`boltzfft.oz`) — same ~49-bit accuracy class,
+    ~an order of magnitude faster on TPU.
     """
     ns = cfg.ns
     sb = min(ns, sub_batch) if sub_batch else ns
-    f_hat = ds.transform3(ds.cds_from_real(f), pre.vfwd)
+    if contract == "oz":
+        tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl)
+        tf_inv = partial(oz.transform3_oz, m=pre.vinv_sl)
+    elif contract == "vpu":
+        tf_fwd = partial(ds.transform3, m=pre.vfwd)
+        tf_inv = partial(ds.transform3, m=pre.vinv)
+    else:
+        raise ValueError(f"unknown ds contract engine: {contract!r}")
+    f_hat = tf_fwd(ds.cds_from_real(f))
 
     def group(acc, xs):
         ax, ay, az, gw, b1 = xs  # per-radial-group table slices
@@ -173,15 +194,15 @@ def collide_ds(
                 _cindex(ax, (sl, slice(None), None, None)),
                 _cindex(a_yz, (slice(None), None, slice(None), slice(None))),
             )  # (sb, N, N, N)
-            g1 = ds.transform3(ds.cmul(a1, f_hat), pre.vinv)
-            g2 = ds.transform3(ds.cmul(ds.cconj(a1), f_hat), pre.vinv)
+            g1 = tf_inv(ds.cmul(a1, f_hat))
+            g2 = tf_inv(ds.cmul(ds.cconj(a1), f_hat))
             h = ds.cmul(g1, g2)
             # weighted group sum BEFORE the forward transform (beta1 is
             # shared within the radial group; hoisting is exact by linearity)
             for j in range(h.re.hi.shape[0]):
                 term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
                 s = term if s is None else ds.cadd(s, term)
-        h_hat = ds.transform3(s, pre.vfwd)
+        h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
     n = cfg.nv
@@ -190,21 +211,34 @@ def collide_ds(
         group, acc0, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
     )
 
-    q_gain = ds.transform3(q_gain_hat, pre.vinv).re
-    loss = ds.transform3(ds.cmul_ds(f_hat, pre.beta2), pre.vinv).re
+    q_gain = tf_inv(q_gain_hat).re
+    loss = tf_inv(ds.cmul_ds(f_hat, pre.beta2)).re
     return ds.sub(q_gain, ds.mul(loss, f))
 
 
+def default_contract() -> str:
+    """Backend default for ``collide_ds``'s ``contract`` engine: the Ozaki
+    MXU path on TPU (measured ~10x faster, same accuracy class — see
+    docs/PERFORMANCE.md), the bit-exact VPU rank-1 path elsewhere (CPU bf16
+    matmuls are emulated and slow)."""
+    return "oz" if jax.default_backend() == "tpu" else "vpu"
+
+
 def make_ds_collision_operator(
-    cfg: CollisionConfig, jit: bool = True, dtype=np.float32, sub_batch: int = 4
+    cfg: CollisionConfig, jit: bool = True, dtype=np.float32,
+    sub_batch: int = 4, contract: Optional[str] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
     Same factory shape as :func:`boltzfft.make_collision_operator`;
     ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
+    ``contract=None`` resolves via :func:`default_contract`.
     """
     pre = build_ds_precomp(cfg, dtype)
-    fn = partial(collide_ds, cfg, sub_batch=sub_batch)
+    fn = partial(
+        collide_ds, cfg, sub_batch=sub_batch,
+        contract=contract or default_contract(),
+    )
 
     def collide_fn(f, precomp):
         if not isinstance(f, DS):

@@ -1,0 +1,117 @@
+"""Tests for the Ozaki-scheme sliced MXU contraction (boltzfft.oz).
+
+Validates the three exactness layers the scheme stands on (chunk
+reconstruction, matrix splitting, exact level sums) and the end results:
+ds-class contraction accuracy and full collision-pipeline parity with the
+bit-exact VPU ds path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import boltzfft as bz
+from boltzfft import ds, oz
+from boltzfft.ds_operator import build_ds_precomp, collide_ds, default_contract
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(20260817)
+
+
+class TestSlicing:
+    def test_ds_slice_reconstruction(self, rng):
+        # wide per-row dynamic range; reconstruction must capture every bit
+        # the f32 pair holds, relative to the row scale
+        x64 = rng.standard_normal((6, 40)) * 10.0 ** rng.uniform(-9, 6, (6, 1))
+        x = ds.from_f64(x64)
+        sl = oz.slice_ds_last(x)
+        rec = np.sum(np.asarray(sl, np.float64), axis=0)
+        err = np.abs(rec - ds.to_f64(x))
+        row_scale = np.max(np.abs(x64), axis=-1, keepdims=True)
+        assert np.max(err / row_scale) < 2.0 ** -48
+
+    def test_zero_row_is_safe(self):
+        x = ds.from_f64(np.zeros((2, 8)))
+        sl = oz.slice_ds_last(x)
+        assert np.all(np.asarray(sl, np.float64) == 0.0)
+
+    def test_chunks_are_bf16_exact(self, rng):
+        # each chunk must be exactly representable in bfloat16: the f64 sum
+        # of the bf16 slices equals the f64 sum of f32-cast slices
+        x64 = rng.standard_normal((4, 16)) * 10.0 ** rng.uniform(-3, 3, (4, 1))
+        sl = oz.slice_ds_last(ds.from_f64(x64))
+        as_f32 = np.asarray(sl.astype(jnp.float32), np.float64)
+        as_bf = np.asarray(sl, np.float64)
+        assert np.array_equal(as_f32, as_bf)
+
+    def test_matrix_slices_reconstruct_f64(self):
+        n = 16
+        m = np.exp(-2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+        msl = oz.slice_matrix(m)
+        rec = np.sum(np.asarray(msl.re, np.float64), axis=0) + 1j * np.sum(
+            np.asarray(msl.im, np.float64), axis=0
+        )
+        # 8 slices x 7 bits = 56 bits relative to the GLOBAL scale (=1 here);
+        # entries tiny vs the scale keep bits below the slice grid, so the
+        # bound is scale-relative, not elementwise-exact
+        assert np.max(np.abs(rec - m)) < 2.0 ** -55
+
+
+class TestContraction:
+    def test_matches_f64_einsum(self, rng):
+        x64 = (
+            rng.standard_normal((3, 7, 32)) * 10.0 ** rng.uniform(-5, 4, (3, 7, 1))
+            + 1j * rng.standard_normal((3, 7, 32)) * 10.0 ** rng.uniform(-5, 4, (3, 7, 1))
+        )
+        m64 = np.exp(1j * rng.uniform(0, 2 * np.pi, (32, 24))) / 32
+        out = oz.contract_last_oz(ds.cds_from_f64(x64), oz.slice_matrix(m64))
+        got = ds.to_f64(out.re) + 1j * ds.to_f64(out.im)
+        ref = x64 @ m64
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-14  # ds-class; plain f32 is ~1e-7 here
+
+    def test_jit_and_grad_free_purity(self, rng):
+        x64 = rng.standard_normal((4, 16)) + 1j * rng.standard_normal((4, 16))
+        m64 = np.exp(1j * rng.uniform(0, 2 * np.pi, (16, 16)))
+        x = ds.cds_from_f64(x64)
+        msl = oz.slice_matrix(m64)
+        eager = oz.contract_last_oz(x, msl)
+        jitted = jax.jit(lambda a, m: oz.contract_last_oz(a, m))(x, msl)
+        # jit must not perturb the compensated arithmetic (reduce_precision
+        # pinning holds under fusion)
+        np.testing.assert_array_equal(np.asarray(eager.re.hi), np.asarray(jitted.re.hi))
+        np.testing.assert_array_equal(np.asarray(eager.re.lo), np.asarray(jitted.re.lo))
+
+    def test_transform3_matches_fft(self, rng):
+        n = 8
+        x64 = rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
+        m = np.exp(-2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+        out = oz.transform3_oz(ds.cds_from_f64(x64), oz.slice_matrix(m))
+        got = ds.to_f64(out.re) + 1j * ds.to_f64(out.im)
+        ref = np.fft.fftn(x64)
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-14
+
+
+class TestPipeline:
+    def test_collide_oz_matches_vpu(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5), np.float64))
+        q_vpu = ds.to_f64(jax.jit(lambda p, x: collide_ds(cfg, p, x, contract="vpu"))(pre, f))
+        q_oz = ds.to_f64(jax.jit(lambda p, x: collide_ds(cfg, p, x, contract="oz"))(pre, f))
+        scale = np.max(np.abs(q_vpu))
+        assert np.max(np.abs(q_vpu - q_oz)) / scale < 1e-12
+
+    def test_bad_contract_raises(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5), np.float64))
+        with pytest.raises(ValueError, match="contract"):
+            collide_ds(cfg, pre, f, contract="nope")
+
+    def test_default_contract_backend(self):
+        want = "oz" if jax.default_backend() == "tpu" else "vpu"
+        assert default_contract() == want
