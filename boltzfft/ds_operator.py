@@ -165,14 +165,17 @@ def collide_ds(
 
     ``contract`` picks the transform engine: ``"vpu"`` = compensated rank-1
     updates (bit-exact ds reference), ``"oz"`` = Ozaki-scheme sliced bf16
-    matmuls on the MXU (:mod:`boltzfft.oz`) — same ~49-bit accuracy class,
-    ~an order of magnitude faster on TPU.
+    matmuls on the MXU (:mod:`boltzfft.oz`; fused Pallas kernel on TPU,
+    staged XLA elsewhere) — same ~49-bit accuracy class, ~an order of
+    magnitude faster on TPU.  ``"ozk"`` forces the Pallas kernel (Pallas
+    interpreter off-TPU; used by the test suite).
     """
     ns = cfg.ns
     sb = min(ns, sub_batch) if sub_batch else ns
-    if contract == "oz":
-        tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl)
-        tf_inv = partial(oz.transform3_oz, m=pre.vinv_sl)
+    if contract in ("oz", "ozk"):
+        kern = True if contract == "ozk" else None
+        tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl, kernel=kern)
+        tf_inv = partial(oz.transform3_oz, m=pre.vinv_sl, kernel=kern)
     elif contract == "vpu":
         tf_fwd = partial(ds.transform3, m=pre.vfwd)
         tf_inv = partial(ds.transform3, m=pre.vinv)

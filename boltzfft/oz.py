@@ -32,11 +32,13 @@ Used by :func:`boltzfft.ds_operator.collide_ds` via ``contract="oz"``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from functools import partial
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from . import ds
 from .ds import CDS, DS, two_sum, quick_two_sum, _opaque
@@ -193,12 +195,147 @@ def contract_last_oz(
     return CDS(_fold_levels(rr, ii, -1.0), _fold_levels(ri, ir, +1.0))
 
 
-def transform3_oz(x: CDS, m: CSlicedMatrix, cmax: int = DEFAULT_CMAX) -> CDS:
+# --------------------------------------------------------------------------
+# the fused Pallas kernel: slice -> 4*levels matmuls -> compensated fold, all
+# VMEM-resident.  The staged XLA version above materializes ~150 intermediate
+# arrays per contraction in HBM (measured bandwidth-bound); the kernel's
+# traffic is one x read + one ds out write.
+#
+# The error-free transformations run WITHOUT the reduce_precision pinning
+# that :mod:`boltzfft.ds` needs under XLA: reduce_precision does not lower in
+# Mosaic, and it is also not needed there — Mosaic emits the vector ops as
+# written (no duplicating fusion), and the extraction/two_sum sequences
+# contain no multiply for an FMA rewrite to contract.  The kernel-vs-staged
+# equivalence is asserted in the test suite.
+# --------------------------------------------------------------------------
+
+
+def _k_two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _k_add_float(hi, lo, p):
+    """(hi, lo) ds += plain f32 p (in-kernel, no pinning)."""
+    s, e = _k_two_sum(hi, p)
+    e = e + lo
+    s2 = s + e
+    return s2, e - (s2 - s)
+
+
+def _oz_contract_kernel(
+    sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref, mre_ref, mim_ref,
+    orh_ref, orl_ref, oih_ref, oil_ref, *, w, sx, cmax,
+):
+    def slices(hi, lo, sig):
+        out = []
+        r_hi, r_lo = hi, lo
+        for i in range(sx):
+            m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
+            c = (r_hi + m_i) - m_i
+            out.append(c.astype(jnp.bfloat16))
+            r_hi = r_hi - c  # exact
+            r_hi, r_lo = _k_two_sum(r_hi, r_lo)
+        return out
+
+    cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
+    ci = slices(xih_ref[:], xil_ref[:], si_ref[:])
+    sm = mre_ref.shape[0]
+
+    def level(chunks, m_ref, d):
+        acc = None
+        for i in range(min(d, sx - 1), -1, -1):
+            j = d - i
+            if j >= sm:
+                continue
+            p = jnp.dot(
+                chunks[i], m_ref[j], preferred_element_type=jnp.float32
+            )
+            acc = p if acc is None else acc + p  # exact (shared level unit)
+        return acc
+
+    shape = (xrh_ref.shape[0], mre_ref.shape[2])
+    reh = rel = imh = iml = jnp.zeros(shape, jnp.float32)
+    for d in range(cmax + 1):
+        rr = level(cr, mre_ref, d)
+        ii = level(ci, mim_ref, d)
+        ri = level(cr, mim_ref, d)
+        ir = level(ci, mre_ref, d)
+        if rr is None:
+            continue
+        reh, rel = _k_add_float(reh, rel, rr)
+        reh, rel = _k_add_float(reh, rel, -ii)
+        imh, iml = _k_add_float(imh, iml, ri)
+        imh, iml = _k_add_float(imh, iml, ir)
+    orh_ref[:] = reh
+    orl_ref[:] = rel
+    oih_ref[:] = imh
+    oil_ref[:] = iml
+
+
+def _row_block(rows: int) -> int:
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if rows % cand == 0:
+            return cand
+    return rows
+
+
+def contract_last_oz_kernel(
+    x: CDS,
+    m: CSlicedMatrix,
+    cmax: int = DEFAULT_CMAX,
+    w: int = DEFAULT_W,
+    interpret: Optional[bool] = None,
+) -> CDS:
+    """Fused-kernel version of :func:`contract_last_oz` (same math)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.re.hi.shape
+    k = shape[-1]
+    ell = m.re.shape[2]
+    rows = int(np.prod(shape[:-1]))
+    rb = _row_block(rows)
+    flat = lambda a: a.reshape(rows, k).astype(jnp.float32)
+    xrh, xrl = flat(x.re.hi), flat(x.re.lo)
+    xih, xil = flat(x.im.hi), flat(x.im.lo)
+    sig_r = _pow2_ceil(jnp.max(jnp.abs(xrh), axis=-1, keepdims=True))
+    sig_i = _pow2_ceil(jnp.max(jnp.abs(xih), axis=-1, keepdims=True))
+
+    row_spec = lambda width: pl.BlockSpec((rb, width), lambda i: (i, 0))
+    m_spec = pl.BlockSpec(m.re.shape, lambda i: (0, 0, 0))
+    out = pl.pallas_call(
+        partial(_oz_contract_kernel, w=w, sx=DEFAULT_SLICES_X, cmax=cmax),
+        grid=(rows // rb,),
+        in_specs=[
+            row_spec(1), row_spec(1),
+            row_spec(k), row_spec(k), row_spec(k), row_spec(k),
+            m_spec, m_spec,
+        ],
+        out_specs=[row_spec(ell)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows, ell), jnp.float32)] * 4,
+        interpret=interpret,
+    )(sig_r, sig_i, xrh, xrl, xih, xil, m.re, m.im)
+    reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
+    return CDS(DS(reh, rel), DS(imh, iml))
+
+
+def transform3_oz(
+    x: CDS,
+    m: CSlicedMatrix,
+    cmax: int = DEFAULT_CMAX,
+    kernel: Optional[bool] = None,
+) -> CDS:
     """Separable 3-D transform of the trailing (N, N, N) axes with the shared
-    sliced (N, N) matrix — the MXU analog of :func:`boltzfft.ds.transform3`."""
-    x = contract_last_oz(x, m, cmax)  # z
-    x = ds._swap_last2(contract_last_oz(ds._swap_last2(x), m, cmax))  # y
-    x = ds._roll_axis(
-        contract_last_oz(ds._roll_axis(x, -3, -1), m, cmax), -1, -3
-    )  # x
+    sliced (N, N) matrix — the MXU analog of :func:`boltzfft.ds.transform3`.
+
+    ``kernel=None`` auto-selects the fused Pallas contraction on TPU and the
+    staged XLA version elsewhere (same arithmetic either way)."""
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
+    # kernel=True off-TPU runs the Pallas interpreter (tests)
+    c = contract_last_oz_kernel if kernel else contract_last_oz
+    x = c(x, m, cmax)  # z
+    x = ds._swap_last2(c(ds._swap_last2(x), m, cmax))  # y
+    x = ds._roll_axis(c(ds._roll_axis(x, -3, -1), m, cmax), -1, -3)  # x
     return x

@@ -85,6 +85,25 @@ class TestContraction:
         np.testing.assert_array_equal(np.asarray(eager.re.hi), np.asarray(jitted.re.hi))
         np.testing.assert_array_equal(np.asarray(eager.re.lo), np.asarray(jitted.re.lo))
 
+    def test_kernel_matches_staged(self, rng):
+        # the fused Pallas kernel (interpret mode here) and the staged XLA
+        # path share the same compensated arithmetic
+        x64 = (
+            rng.standard_normal((16, 32)) * 10.0 ** rng.uniform(-5, 4, (16, 1))
+            + 1j * rng.standard_normal((16, 32)) * 10.0 ** rng.uniform(-5, 4, (16, 1))
+        )
+        m64 = np.exp(1j * rng.uniform(0, 2 * np.pi, (32, 32))) / 32
+        x = ds.cds_from_f64(x64)
+        msl = oz.slice_matrix(m64)
+        a = oz.contract_last_oz(x, msl)
+        b = oz.contract_last_oz_kernel(x, msl)
+        ga = ds.to_f64(a.re) + 1j * ds.to_f64(a.im)
+        gb = ds.to_f64(b.re) + 1j * ds.to_f64(b.im)
+        ref = x64 @ m64
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(ga - gb)) / scale < 1e-14
+        assert np.max(np.abs(gb - ref)) / scale < 1e-14
+
     def test_transform3_matches_fft(self, rng):
         n = 8
         x64 = rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
@@ -104,6 +123,15 @@ class TestPipeline:
         q_oz = ds.to_f64(jax.jit(lambda p, x: collide_ds(cfg, p, x, contract="oz"))(pre, f))
         scale = np.max(np.abs(q_vpu))
         assert np.max(np.abs(q_vpu - q_oz)) / scale < 1e-12
+
+    def test_collide_ozk_matches_vpu(self):
+        # the forced-Pallas-kernel engine (interpreter off-TPU)
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5), np.float64))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        q_ozk = ds.to_f64(collide_ds(cfg, pre, f, contract="ozk"))
+        assert np.max(np.abs(q_vpu - q_ozk)) / np.max(np.abs(q_vpu)) < 1e-12
 
     def test_bad_contract_raises(self):
         cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c", dtype="float32")
