@@ -34,6 +34,8 @@ from .ds_operator import (
     build_ds_precomp,
     collide_ds,
     make_ds_collision_operator,
+    make_sharded_ds_collision_operator,
+    place_ds,
 )
 from .distributed import (
     initialize_distributed,
@@ -73,6 +75,8 @@ __all__ = [
     "build_ds_precomp",
     "collide_ds",
     "make_ds_collision_operator",
+    "make_sharded_ds_collision_operator",
+    "place_ds",
     "euler_step",
     "make_mesh",
     "make_relaxation",

@@ -32,6 +32,12 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
              "ds (compensated double-single: f64-class accuracy on f32 TPUs)",
     )
     p.add_argument(
+        "--ds-contract", choices=["vpu", "oz", "ozk"], default=None,
+        help="ds transform engine (--impl ds only): vpu = compensated "
+             "rank-1 (bit-exact reference), oz = Ozaki-scheme MXU slicing "
+             "(TPU default, ~5-7x faster), ozk = force the Pallas kernel",
+    )
+    p.add_argument(
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )

@@ -124,7 +124,9 @@ def _run_ds(args):
     dv3 = g.dv ** 3
 
     t0 = time.perf_counter()
-    collide_fn, pre = bz.make_ds_collision_operator(cfg, jit=False)
+    collide_fn, pre = bz.make_ds_collision_operator(
+        cfg, jit=False, contract=args.ds_contract
+    )
 
     if args.steps > 0:
         # ds relaxation: the f32-pair state tracks an f64 integration

@@ -151,6 +151,7 @@ def _cindex(x, idx):
 def collide_ds(
     cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 4,
     contract: str = "vpu",
+    gain_reduce: Optional[Callable[[CDS], CDS]] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -169,6 +170,10 @@ def collide_ds(
     staged XLA elsewhere) — same ~49-bit accuracy class, ~an order of
     magnitude faster on TPU.  ``"ozk"`` forces the Pallas kernel (Pallas
     interpreter off-TPU; used by the test suite).
+
+    ``gain_reduce`` (sharding hook): applied to the gain spectrum between
+    the radial-group scan and the final inverse — the radial-sharded
+    operator passes the compensated cross-device fold here.
     """
     ns = cfg.ns
     sb = min(ns, sub_batch) if sub_batch else ns
@@ -213,6 +218,8 @@ def collide_ds(
     q_gain_hat, _ = jax.lax.scan(
         group, acc0, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
     )
+    if gain_reduce is not None:
+        q_gain_hat = gain_reduce(q_gain_hat)
 
     q_gain = tf_inv(q_gain_hat).re
     loss = tf_inv(ds.cmul_ds(f_hat, pre.beta2)).re
@@ -251,3 +258,129 @@ def make_ds_collision_operator(
     if jit:
         collide_fn = jax.jit(collide_fn)
     return collide_fn, pre
+
+
+# ---------------------------------------------------------------------------
+# multi-chip ds: radial-axis sharding with a COMPENSATED cross-device fold
+# ---------------------------------------------------------------------------
+
+
+def _pad_radial(pre: DsPrecomp, n_groups: int) -> DsPrecomp:
+    """Pad the leading radial axis to ``n_groups`` with zero-weight groups.
+
+    Padded groups carry ``gain_w = 0`` so they contribute exactly nothing to
+    the gain sum (their phase/beta1 entries are zeros — finite, unused)."""
+    have = pre.gain_w.hi.shape[0]
+    if n_groups == have:
+        return pre
+
+    def pad(a):
+        width = [(0, n_groups - have)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width)
+
+    padded = jax.tree.map(pad, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1))
+    return pre._replace(
+        ax=padded[0], ay=padded[1], az=padded[2],
+        gain_w=padded[3], beta1=padded[4],
+    )
+
+
+def _ds_precomp_specs(radial_axis: Optional[str]):
+    """shard_map PartitionSpec prefix-tree for a DsPrecomp: per-radial-group
+    tables sharded on their leading axis, shared tables replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    shard = P(radial_axis)
+    rep = P()
+    return DsPrecomp(
+        ax=shard, ay=shard, az=shard, gain_w=shard, beta1=shard,
+        beta2=rep, vfwd=rep, vinv=rep, vfwd_sl=rep, vinv_sl=rep,
+    )
+
+
+def make_sharded_ds_collision_operator(
+    cfg: CollisionConfig,
+    mesh,
+    radial_axis: Optional[str] = "node",
+    ensemble_axis: Optional[str] = None,
+    jit: bool = True,
+    dtype=np.float32,
+    sub_batch: int = 4,
+    contract: Optional[str] = None,
+) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
+    """f64-class collision evals sharded over a device mesh.
+
+    The radial quadrature groups spread over ``radial_axis`` (the analog of
+    :func:`boltzfft.make_sharded_collision_operator`'s node sharding; the ds
+    scan is over radial groups, so that is the natural shard unit).  The
+    cross-device gain reduction CANNOT be a plain ``psum`` — the f32
+    collective would round the compensated pairs back to 2^-24 — so each
+    device ``all_gather``s the partial gain spectra and folds them with ds
+    adds in a fixed order: deterministic, ~49-bit, identical on every device.
+
+    ``ensemble_axis`` additionally shards a leading ensemble dimension of
+    ``f`` (no communication).  Returns ``(collide_fn, precomp)`` with the
+    precomp's radial tables padded to shard evenly; place them with
+    :func:`place_ds`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if radial_axis is None and ensemble_axis is None:
+        raise ValueError("need at least one of radial_axis/ensemble_axis")
+    n_shards = mesh.shape[radial_axis] if radial_axis else 1
+    pre = build_ds_precomp(cfg, dtype)
+    n_gl = pre.gain_w.hi.shape[0]
+    pre = _pad_radial(pre, -(-n_gl // n_shards) * n_shards)
+    engine = contract or default_contract()
+
+    def folded_gather(q: CDS) -> CDS:
+        parts = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, radial_axis, axis=0), q
+        )
+        acc = jax.tree.map(lambda a: a[0], parts)
+        for i in range(1, n_shards):
+            acc = ds.cadd(acc, jax.tree.map(lambda a: a[i], parts))
+        return acc
+
+    reducer = folded_gather if (radial_axis and n_shards > 1) else None
+
+    def body(f, p):
+        one = lambda fi: collide_ds(
+            cfg, p, fi, sub_batch=sub_batch, contract=engine,
+            gain_reduce=reducer,
+        )
+        if ensemble_axis is not None:
+            return jax.vmap(one)(f)
+        return one(f)
+
+    f_spec = P(ensemble_axis) if ensemble_axis is not None else P()
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(f_spec, _ds_precomp_specs(radial_axis)),
+        out_specs=f_spec,
+        check_vma=False,
+    )
+
+    def collide_fn(f, precomp):
+        if not isinstance(f, DS):
+            f = ds.from_float(jnp.asarray(f, dtype))
+        return sharded(f, precomp)
+
+    if jit:
+        collide_fn = jax.jit(collide_fn)
+    return collide_fn, pre
+
+
+def place_ds(pre: DsPrecomp, mesh, radial_axis: Optional[str] = "node") -> DsPrecomp:
+    """Device-put DsPrecomp leaves with their intended shardings."""
+    from jax.sharding import NamedSharding
+
+    specs = _ds_precomp_specs(radial_axis)
+
+    def put(leaf_tree, spec):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, spec)), leaf_tree
+        )
+
+    return DsPrecomp(*(put(getattr(pre, f), getattr(specs, f)) for f in pre._fields))
