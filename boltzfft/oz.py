@@ -202,72 +202,86 @@ def contract_last_oz(
 # traffic is one x read + one ds out write.
 #
 # The error-free transformations run WITHOUT the reduce_precision pinning
-# that :mod:`boltzfft.ds` needs under XLA: reduce_precision does not lower in
-# Mosaic, and it is also not needed there — Mosaic emits the vector ops as
-# written (no duplicating fusion), and the extraction/two_sum sequences
-# contain no multiply for an FMA rewrite to contract.  The kernel-vs-staged
-# equivalence is asserted in the test suite.
+# that :mod:`boltzfft.ds` needs under XLA when lowered through Mosaic:
+# reduce_precision does not lower there, and it is also not needed — Mosaic
+# emits the vector ops as written (no duplicating fusion), and the
+# extraction/two_sum sequences contain no multiply for an FMA rewrite to
+# contract.  In INTERPRET mode, however, the kernel body is ordinary XLA:CPU
+# code (and inside jit/scan it fuses like any other), so there the pinning
+# IS required — unpinned, a scanned pipeline measurably collapses to ~1e-6.
+# Hence the ``pin`` switch: True off-TPU, False under Mosaic.  The
+# kernel-vs-staged equivalence is asserted in the test suite.
 # --------------------------------------------------------------------------
 
 
-def _k_two_sum(a, b):
-    s = a + b
+def _k_two_sum(a, b, opq):
+    s = opq(a + b)
     bb = s - a
     return s, (a - (s - bb)) + (b - bb)
 
 
-def _k_add_float(hi, lo, p):
-    """(hi, lo) ds += plain f32 p (in-kernel, no pinning)."""
-    s, e = _k_two_sum(hi, p)
+def _k_add_float(hi, lo, p, opq):
+    """(hi, lo) ds += plain f32 p (in-kernel)."""
+    s, e = _k_two_sum(hi, p, opq)
     e = e + lo
-    s2 = s + e
+    s2 = opq(s + e)
     return s2, e - (s2 - s)
 
 
 def _oz_contract_kernel(
     sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref, mre_ref, mim_ref,
-    orh_ref, orl_ref, oih_ref, oil_ref, *, w, sx, cmax,
+    orh_ref, orl_ref, oih_ref, oil_ref, *, w, sx, sm, ell, cmax, pin,
 ):
+    """v2 layout: the ``sx`` chunks stack on the SUBLANE axis and the ``sm``
+    matrix slices on the LANE axis, so each (component-pair) product is ONE
+    big MXU dot — (sx*rb, K) @ (K, sm*L) — instead of ~36 tiny ones (the v1
+    per-pair dots measured ~2% of bf16 peak; the stacked dot computes all
+    sx*sm pairs, ~1.5x the needed FLOPs, at far better MXU efficiency).
+    Level d then sums the output tiles [i*rb, j*L] with i+j=d (f32 adds of a
+    shared power-of-two unit: exact) before the compensated fold."""
+    rb = xrh_ref.shape[0]
+    opq = _opaque if pin else (lambda v: v)
+
     def slices(hi, lo, sig):
         out = []
         r_hi, r_lo = hi, lo
         for i in range(sx):
             m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
-            c = (r_hi + m_i) - m_i
+            c = opq(opq(r_hi + m_i) - m_i)
             out.append(c.astype(jnp.bfloat16))
-            r_hi = r_hi - c  # exact
-            r_hi, r_lo = _k_two_sum(r_hi, r_lo)
-        return out
+            r_hi = opq(r_hi - c)  # exact
+            r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
+        return jnp.concatenate(out, axis=0)  # (sx*rb, K)
 
     cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
     ci = slices(xih_ref[:], xil_ref[:], si_ref[:])
-    sm = mre_ref.shape[0]
+    mre, mim = mre_ref[:], mim_ref[:]
 
-    def level(chunks, m_ref, d):
-        acc = None
-        for i in range(min(d, sx - 1), -1, -1):
-            j = d - i
-            if j >= sm:
+    reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
+    # products sequentially (bounds live VMEM to one (sx*rb, sm*L) array)
+    for chunks, mat, sgn, which in (
+        (cr, mre, 1.0, "re"),
+        (ci, mim, -1.0, "re"),
+        (cr, mim, 1.0, "im"),
+        (ci, mre, 1.0, "im"),
+    ):
+        p = jnp.dot(chunks, mat, preferred_element_type=jnp.float32)
+        for d in range(cmax + 1):
+            acc = None
+            for i in range(min(d, sx - 1), -1, -1):
+                j = d - i
+                if j >= sm:
+                    continue
+                t = p[i * rb:(i + 1) * rb, j * ell:(j + 1) * ell]
+                acc = t if acc is None else acc + t  # exact (shared unit)
+            if acc is None:
                 continue
-            p = jnp.dot(
-                chunks[i], m_ref[j], preferred_element_type=jnp.float32
-            )
-            acc = p if acc is None else acc + p  # exact (shared level unit)
-        return acc
-
-    shape = (xrh_ref.shape[0], mre_ref.shape[2])
-    reh = rel = imh = iml = jnp.zeros(shape, jnp.float32)
-    for d in range(cmax + 1):
-        rr = level(cr, mre_ref, d)
-        ii = level(ci, mim_ref, d)
-        ri = level(cr, mim_ref, d)
-        ir = level(ci, mre_ref, d)
-        if rr is None:
-            continue
-        reh, rel = _k_add_float(reh, rel, rr)
-        reh, rel = _k_add_float(reh, rel, -ii)
-        imh, iml = _k_add_float(imh, iml, ri)
-        imh, iml = _k_add_float(imh, iml, ir)
+            if sgn < 0:
+                acc = -acc
+            if which == "re":
+                reh, rel = _k_add_float(reh, rel, acc, opq)
+            else:
+                imh, iml = _k_add_float(imh, iml, acc, opq)
     orh_ref[:] = reh
     orl_ref[:] = rel
     oih_ref[:] = imh
@@ -275,10 +289,77 @@ def _oz_contract_kernel(
 
 
 def _row_block(rows: int) -> int:
-    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+    # bounded by the (sx*rb, sm*L) product array in VMEM (~3.7 MB at 256)
+    for cand in (256, 128, 64, 32, 16, 8):
         if rows % cand == 0:
             return cand
     return rows
+
+
+def _oz_contract_v2_jnp(
+    sig_r, sig_i, xrh, xrl, xih, xil, m_re, m_im, *, w, sx, sm, ell, cmax
+):
+    """Pure-jnp twin of ``_oz_contract_kernel`` for non-TPU backends.
+
+    Same math, explicit f32 dots (exact for the chunk values by
+    construction), EFT intermediates pinned.  This is the interpret path:
+    running the Mosaic kernel body through ``pallas_call(interpret=True)``
+    inside a larger jit/scan lets XLA:CPU fuse the emulated bf16 dot into a
+    reduced-precision form and the exactness argument dies (measured: a
+    scanned pipeline collapses to ~1e-7 while the same ops run eagerly are
+    exact) — the twin keeps the dot in f32 where CPU accumulation is exact.
+    Bit-identical to the Mosaic kernel: both compute exact integer-valued
+    slice products and the same fold sequence.
+    """
+    rows = xrh.shape[0]
+
+    def slices(hi, lo, sig):
+        out = []
+        r_hi, r_lo = hi, lo
+        for i in range(sx):
+            m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
+            c = _opaque(_opaque(r_hi + m_i) - m_i)
+            out.append(c)
+            r_hi = _opaque(r_hi - c)
+            r_hi, r_lo = two_sum(r_hi, r_lo)
+        return jnp.stack(out)  # (sx, rows, K) f32 (bf16-exact values)
+
+    cr = slices(xrh, xrl, sig_r)
+    ci = slices(xih, xil, sig_i)
+    m_re32 = m_re.astype(jnp.float32)  # (sm, K, ell)
+    m_im32 = m_im.astype(jnp.float32)
+
+    reh = rel = jnp.zeros((rows, ell), jnp.float32)
+    imh = iml = jnp.zeros((rows, ell), jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    for chunks, mat, sgn, which in (
+        (cr, m_re32, 1.0, "re"),
+        (ci, m_im32, -1.0, "re"),
+        (cr, m_im32, 1.0, "im"),
+        (ci, m_re32, 1.0, "im"),
+    ):
+        for d in range(cmax + 1):
+            acc = None
+            for i in range(min(d, sx - 1), -1, -1):
+                j = d - i
+                if j >= sm:
+                    continue
+                t = jnp.dot(
+                    chunks[i], mat[j],
+                    precision=hp, preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else _opaque(acc + t)
+            if acc is None:
+                continue
+            if sgn < 0:
+                acc = -acc
+            if which == "re":
+                s, e = two_sum(reh, acc)
+                reh, rel = quick_two_sum(s, e + rel)
+            else:
+                s, e = two_sum(imh, acc)
+                imh, iml = quick_two_sum(s, e + iml)
+    return reh, rel, imh, iml
 
 
 def contract_last_oz_kernel(
@@ -293,7 +374,7 @@ def contract_last_oz_kernel(
         interpret = jax.default_backend() != "tpu"
     shape = x.re.hi.shape
     k = shape[-1]
-    ell = m.re.shape[2]
+    sm, _, ell = m.re.shape
     rows = int(np.prod(shape[:-1]))
     rb = _row_block(rows)
     flat = lambda a: a.reshape(rows, k).astype(jnp.float32)
@@ -302,10 +383,27 @@ def contract_last_oz_kernel(
     sig_r = _pow2_ceil(jnp.max(jnp.abs(xrh), axis=-1, keepdims=True))
     sig_i = _pow2_ceil(jnp.max(jnp.abs(xih), axis=-1, keepdims=True))
 
+    if interpret:
+        # non-TPU: the pure-jnp twin (see its docstring for why NOT
+        # pallas interpret mode)
+        out = _oz_contract_v2_jnp(
+            sig_r, sig_i, xrh, xrl, xih, xil, m.re, m.im,
+            w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+        )
+        reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
+        return CDS(DS(reh, rel), DS(imh, iml))
+
+    # lane-stack the matrix slices: (sm, K, L) -> (K, sm*L), col j*L+l
+    m_all = lambda a: jnp.swapaxes(a, 0, 1).reshape(k, sm * ell)
+
     row_spec = lambda width: pl.BlockSpec((rb, width), lambda i: (i, 0))
-    m_spec = pl.BlockSpec(m.re.shape, lambda i: (0, 0, 0))
+    m_spec = pl.BlockSpec((k, sm * ell), lambda i: (0, 0))
     out = pl.pallas_call(
-        partial(_oz_contract_kernel, w=w, sx=DEFAULT_SLICES_X, cmax=cmax),
+        partial(
+            _oz_contract_kernel,
+            w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+            pin=interpret,
+        ),
         grid=(rows // rb,),
         in_specs=[
             row_spec(1), row_spec(1),
@@ -315,7 +413,7 @@ def contract_last_oz_kernel(
         out_specs=[row_spec(ell)] * 4,
         out_shape=[jax.ShapeDtypeStruct((rows, ell), jnp.float32)] * 4,
         interpret=interpret,
-    )(sig_r, sig_i, xrh, xrl, xih, xil, m.re, m.im)
+    )(sig_r, sig_i, xrh, xrl, xih, xil, m_all(m.re), m_all(m.im))
     reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
 
