@@ -19,6 +19,10 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
     """Shared flags: --Nv, --Ns, -t/--trials (+ dtype/impl, TPU-era additions)."""
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--Nv", type=int, default=32, help="velocity grid points per axis")
+    p.add_argument("--Nvy", type=int, default=None,
+                   help="y-axis grid points (default: Nv; reference ctor parity)")
+    p.add_argument("--Nvz", type=int, default=None,
+                   help="z-axis grid points (default: Nv)")
     p.add_argument("--Ns", type=int, default=12, help="spherical design size")
     p.add_argument("-t", "--trials", type=int, default=1, help="timing trials")
     p.add_argument(

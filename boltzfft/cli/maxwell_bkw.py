@@ -41,8 +41,8 @@ def main(argv=None):
 
     # Maxwell molecules by default (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
     cfg = bz.CollisionConfig(
-        nv=args.Nv, ns=args.Ns, impl=args.impl, dtype=dtype,
-        node_chunk=args.node_chunk, **vhs_kwargs(args),
+        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=args.impl,
+        dtype=dtype, node_chunk=args.node_chunk, **vhs_kwargs(args),
     )
     if args.gamma != 0.0:
         print("note: BKW error report is only meaningful for Maxwell molecules (gamma=0)")
@@ -59,10 +59,13 @@ def main(argv=None):
         # analytic BKW solution at t0 + steps*dt, with on-device moments.
         t_end = args.t0 + args.steps * args.dt
         f0 = jnp.asarray(np.asarray(bz.bkw_f(rsq, args.t0)), cfg.real_dtype)
-        v = jnp.asarray(g.v, cfg.real_dtype)
+        if cfg.is_isotropic:
+            v = jnp.asarray(g.v, cfg.real_dtype)
+        else:
+            v = tuple(jnp.asarray(a, cfg.real_dtype) for a in (g.vx, g.vy, g.vz))
         run = bz.make_relaxation(
             collide, pre, dt=args.dt, n_steps=args.steps, method="rk4",
-            record=lambda x: bz.moments(x, v, g.dv),
+            record=lambda x: bz.moments(x, v, cell_volume=g.cell_volume),
         )
         traj = run(f0)
         mass = np.asarray(traj.recorded.mass)
@@ -71,7 +74,7 @@ def main(argv=None):
         print(f"mass drift: {abs(mass - mass[0]).max():.3e}, "
               f"energy drift: {abs(np.asarray(traj.recorded.energy) - np.asarray(traj.recorded.energy)[0]).max():.3e}")
         f_exact = jnp.asarray(bz.bkw_f(rsq, t_end), cfg.real_dtype)
-        err = bz.error_norms_device(traj.f, f_exact, g.dv)
+        err = bz.error_norms_device(traj.f, f_exact, cell_volume=g.cell_volume)
         print("Relaxation errors vs analytic BKW f(t_end):")
         print(f"L1 error: {err['L1']:.6g}")
         print(f"L2 error: {err['L2']:.6g}")
@@ -94,7 +97,9 @@ def main(argv=None):
 
     # norms reduced on device — full-array reads are slow/unsupported on
     # remote accelerators, and only three scalars are needed
-    err = bz.error_norms_device(q, jnp.asarray(q_bkw, cfg.real_dtype), g.dv)
+    err = bz.error_norms_device(
+        q, jnp.asarray(q_bkw, cfg.real_dtype), cell_volume=g.cell_volume
+    )
     print("Approximation errors:")
     print(f"L1 error: {err['L1']:.6g}")
     print(f"L2 error: {err['L2']:.6g}")
@@ -114,14 +119,14 @@ def _run_ds(args):
     from boltzfft.cli import vhs_kwargs
 
     cfg = bz.CollisionConfig(
-        nv=args.Nv, ns=args.Ns, impl="c2c", dtype="float32",
-        n_radial=args.n_radial, **vhs_kwargs(args),
+        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl="c2c",
+        dtype="float32", n_radial=args.n_radial, **vhs_kwargs(args),
     )
     g = cfg.velocity_grid
     rsq = g.r_squared()
     f_ds = ds.from_f64(np.asarray(bz.bkw_f(rsq, 6.5), np.float64))
     q_ex = ds.from_f64(np.asarray(bz.bkw_dfdt(rsq, 6.5), np.float64))
-    dv3 = g.dv ** 3
+    dv3 = g.cell_volume
 
     t0 = time.perf_counter()
     collide_fn, pre = bz.make_ds_collision_operator(

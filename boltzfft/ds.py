@@ -291,14 +291,24 @@ def default_contract_block() -> int:
     return 4 if jax.default_backend() == "tpu" else 1
 
 
-def transform3(x: CDS, m: CDS, block: Optional[int] = None) -> CDS:
-    """Separable 3-D transform of the trailing (N, N, N) axes with the shared
-    (N, N) ds matrix ``m`` (the ds analog of ``operator._dft3``)."""
+def _per_axis(m):
+    """Normalize a transform-matrix argument to an (mx, my, mz) triple —
+    a single shared CDS matrix (cubic grids) or a per-axis plain tuple
+    (anisotropic).  CDS is itself a NamedTuple, so test the type, not
+    ``isinstance(m, tuple)``."""
+    return (m, m, m) if isinstance(m, CDS) else tuple(m)
+
+
+def transform3(x: CDS, m, block: Optional[int] = None) -> CDS:
+    """Separable 3-D transform of the trailing (Nx, Ny, Nz) axes with the
+    (N_axis, N_axis) ds matrix/matrices ``m`` (shared or per-axis tuple) —
+    the ds analog of ``operator._dft3``."""
+    mx, my, mz = _per_axis(m)
     b = default_contract_block() if block is None else block
     # z (last) axis
-    x = contract_last(x, m, block=b)
+    x = contract_last(x, mz, block=b)
     # y axis
-    x = _swap_last2(contract_last(_swap_last2(x), m, block=b))
+    x = _swap_last2(contract_last(_swap_last2(x), my, block=b))
     # x axis
-    x = _roll_axis(contract_last(_roll_axis(x, -3, -1), m, block=b), -1, -3)
+    x = _roll_axis(contract_last(_roll_axis(x, -3, -1), mx, block=b), -1, -3)
     return x

@@ -54,11 +54,11 @@ class DsPrecomp(NamedTuple):
     ay: CDS  # (n_gl, ns, N)
     az: CDS  # (n_gl, ns, N)
     gain_w: DS  # (n_gl, ns) quadrature weight w_gl * w_sph * rho^(gamma+2)
-    beta1: DS  # (n_gl, N, N, N) radial gain kernel rows
-    beta2: DS  # (N, N, N) loss multiplier
-    vfwd: CDS  # (N, N) forward DFT matrix
-    vinv: CDS  # (N, N) 1/N-normalized inverse DFT matrix
-    vfwd_sl: oz.CSlicedMatrix  # bf16 mantissa slices for contract="oz"
+    beta1: DS  # (n_gl, Nx, Ny, Nz) radial gain kernel rows
+    beta2: DS  # (Nx, Ny, Nz) loss multiplier
+    vfwd: CDS  # (N, N) forward DFT matrix — or per-axis (mx, my, mz) tuple
+    vinv: CDS  # (N, N) 1/N-normalized inverse DFT matrix (or tuple)
+    vfwd_sl: oz.CSlicedMatrix  # bf16 mantissa slices for contract="oz" (or tuple)
     vinv_sl: oz.CSlicedMatrix
 
 
@@ -91,10 +91,13 @@ def _from_f64_chunked(a: np.ndarray, dtype=np.float32) -> DS:
 
 
 def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
-    """All host math in float64, split exactly into ds pairs of ``dtype``."""
-    if not cfg.is_isotropic:
-        raise ValueError("the compensated (ds) pipeline requires a cubic grid")
-    n = cfg.nv
+    """All host math in float64, split exactly into ds pairs of ``dtype``.
+
+    Anisotropic grids (``nvy``/``nvz`` != ``nv``, mirroring the reference
+    operator's ``Nvx, Nvy, Nvz`` constructor, ``FFTWBoltzmannOperator.hpp:32``)
+    get per-axis mode tables and per-axis DFT matrices; the ``vfwd``/``vinv``
+    fields then hold (mx, my, mz) tuples instead of one shared matrix."""
+    nx, ny, nz = cfg.grid_shape
     length = cfg.domain_length
 
     gl = _quad.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
@@ -102,22 +105,27 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
     rho = gl.nodes  # (n_gl,)
     sigma = sph.points  # (ns, 3)
 
-    lx = _modes.fft_modes(n).astype(np.float64)  # full c2c mode order
+    modes = [
+        _modes.fft_modes(n).astype(np.float64) for n in (nx, ny, nz)
+    ]  # full c2c mode order, per axis
     coef = -np.pi / (2.0 * length)
     # phase[r, s, l] = coef * rho_r * sigma_s[axis] * l
     def axis_phase(axis):
-        ph = coef * rho[:, None, None] * sigma[None, :, axis, None] * lx[None, None, :]
+        ph = (
+            coef * rho[:, None, None] * sigma[None, :, axis, None]
+            * modes[axis][None, None, :]
+        )
         return ds.cds_from_f64(np.exp(1j * ph), dtype)
 
     gain_w = (
         (gl.weights * rho ** (cfg.gamma + 2.0))[:, None] * sph.weights[None, :]
     )  # (n_gl, ns)
 
-    norm_l = _modes.mode_norm_grid(lx, lx, lx)  # (N, N, N)
+    norm_l = _modes.mode_norm_grid(*modes)  # (Nx, Ny, Nz)
     eps64 = float(np.finfo(np.float64).eps)
     beta1 = (4.0 * np.pi * cfg.b_gamma) * sincc(
         (np.pi / (2.0 * length)) * rho[:, None, None, None] * norm_l[None], eps64
-    )  # (n_gl, N, N, N)
+    )  # (n_gl, Nx, Ny, Nz)
 
     radial_w = gl.weights * rho ** (cfg.gamma + 2.0)
     arg = (np.pi / length) * rho[:, None] * norm_l.reshape(1, -1)
@@ -125,10 +133,23 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
         16.0 * np.pi**2 * cfg.b_gamma * (radial_w @ sincc(arg, eps64))
     ).reshape(norm_l.shape)
 
-    mx = np.arange(n)
-    ph = 2.0 * np.pi * np.outer(mx, mx) / n
-    vfwd64 = np.exp(-1j * ph)
-    vinv64 = np.exp(1j * ph) / n
+    def dft_pair(n):
+        m = np.arange(n)
+        ph = 2.0 * np.pi * np.outer(m, m) / n
+        return np.exp(-1j * ph), np.exp(1j * ph) / n
+
+    pairs = [dft_pair(n) for n in (nx, ny, nz)]
+    if cfg.is_isotropic:
+        vfwd64, vinv64 = pairs[0]
+        vfwd = ds.cds_from_f64(vfwd64, dtype)
+        vinv = ds.cds_from_f64(vinv64, dtype)
+        vfwd_sl = oz.slice_matrix(vfwd64)
+        vinv_sl = oz.slice_matrix(vinv64)
+    else:
+        vfwd = tuple(ds.cds_from_f64(p[0], dtype) for p in pairs)
+        vinv = tuple(ds.cds_from_f64(p[1], dtype) for p in pairs)
+        vfwd_sl = tuple(oz.slice_matrix(p[0]) for p in pairs)
+        vinv_sl = tuple(oz.slice_matrix(p[1]) for p in pairs)
     return DsPrecomp(
         ax=axis_phase(0),
         ay=axis_phase(1),
@@ -136,10 +157,10 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
         gain_w=ds.from_f64(gain_w, dtype),
         beta1=_from_f64_chunked(beta1, dtype),
         beta2=ds.from_f64(beta2, dtype),
-        vfwd=ds.cds_from_f64(vfwd64, dtype),
-        vinv=ds.cds_from_f64(vinv64, dtype),
-        vfwd_sl=oz.slice_matrix(vfwd64),
-        vinv_sl=oz.slice_matrix(vinv64),
+        vfwd=vfwd,
+        vinv=vinv,
+        vfwd_sl=vfwd_sl,
+        vinv_sl=vinv_sl,
     )
 
 
@@ -213,8 +234,7 @@ def collide_ds(
         h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
-    n = cfg.nv
-    acc0 = ds.czeros((n, n, n), f.hi.dtype)
+    acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
     q_gain_hat, _ = jax.lax.scan(
         group, acc0, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
     )

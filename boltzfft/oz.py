@@ -420,20 +420,24 @@ def contract_last_oz_kernel(
 
 def transform3_oz(
     x: CDS,
-    m: CSlicedMatrix,
+    m,
     cmax: int = DEFAULT_CMAX,
     kernel: Optional[bool] = None,
 ) -> CDS:
-    """Separable 3-D transform of the trailing (N, N, N) axes with the shared
-    sliced (N, N) matrix — the MXU analog of :func:`boltzfft.ds.transform3`.
+    """Separable 3-D transform of the trailing (Nx, Ny, Nz) axes with the
+    sliced matrix/matrices ``m`` (one :class:`CSlicedMatrix` shared by all
+    axes, or a per-axis (mx, my, mz) tuple) — the MXU analog of
+    :func:`boltzfft.ds.transform3`.
 
     ``kernel=None`` auto-selects the fused Pallas contraction on TPU and the
-    staged XLA version elsewhere (same arithmetic either way)."""
+    pure-jnp twin elsewhere (same arithmetic either way)."""
+    # CSlicedMatrix is itself a NamedTuple — test the type, not tuple-ness
+    mx, my, mz = (m, m, m) if isinstance(m, CSlicedMatrix) else tuple(m)
     if kernel is None:
         kernel = jax.default_backend() == "tpu"
-    # kernel=True off-TPU runs the Pallas interpreter (tests)
+    # kernel=True off-TPU runs the jnp twin (tests)
     c = contract_last_oz_kernel if kernel else contract_last_oz
-    x = c(x, m, cmax)  # z
-    x = ds._swap_last2(c(ds._swap_last2(x), m, cmax))  # y
-    x = ds._roll_axis(c(ds._roll_axis(x, -3, -1), m, cmax), -1, -3)  # x
+    x = c(x, mz, cmax)  # z
+    x = ds._swap_last2(c(ds._swap_last2(x), my, cmax))  # y
+    x = ds._roll_axis(c(ds._roll_axis(x, -3, -1), mx, cmax), -1, -3)  # x
     return x

@@ -105,22 +105,35 @@ class trace:
         return False
 
 
-def error_norms(q: np.ndarray, q_exact: np.ndarray, dv: float) -> dict[str, float]:
+def _vol(dv, cell_volume) -> float:
+    if (dv is None) == (cell_volume is None):
+        raise ValueError("pass exactly one of dv / cell_volume")
+    return float(cell_volume) if cell_volume is not None else float(dv) ** 3
+
+
+def error_norms(
+    q: np.ndarray, q_exact: np.ndarray, dv: float = None, *,
+    cell_volume: float = None,
+) -> dict[str, float]:
     """L1/L2/Linf error norms with the reference's scaling conventions.
 
     L1 = dv^3 * sum|diff|; L2 = sqrt(dv^3 * sum diff^2); Linf = max|diff|
     (``maxwell_bkw_fftw.cpp:150-161`` — note the L2 convention multiplies the
     squared sum by dv^3 *before* the square root; reproduced for parity).
+    Anisotropic grids pass ``cell_volume=dx*dy*dz`` instead of ``dv``.
     """
+    vol = _vol(dv, cell_volume)
     diff = np.abs(np.asarray(q, dtype=np.float64) - np.asarray(q_exact, dtype=np.float64))
     return {
-        "L1": float(dv**3 * diff.sum()),
-        "L2": float(np.sqrt(dv**3 * (diff**2).sum())),
+        "L1": float(vol * diff.sum()),
+        "L2": float(np.sqrt(vol * (diff**2).sum())),
         "Linf": float(diff.max()),
     }
 
 
-def error_norms_device(q, q_exact, dv: float) -> dict[str, float]:
+def error_norms_device(
+    q, q_exact, dv: float = None, *, cell_volume: float = None
+) -> dict[str, float]:
     """Same norms reduced on the device; only three scalars cross to the host.
 
     Use instead of :func:`error_norms` when the accelerator is remote —
@@ -128,10 +141,11 @@ def error_norms_device(q, q_exact, dv: float) -> dict[str, float]:
     """
     import jax.numpy as jnp
 
+    vol = _vol(dv, cell_volume)
     q = jnp.asarray(q)
     diff = jnp.abs(q - jnp.asarray(q_exact, q.dtype))
     return {
-        "L1": float(dv**3 * jnp.sum(diff)),
-        "L2": float(jnp.sqrt(dv**3 * jnp.sum(diff**2))),
+        "L1": float(vol * jnp.sum(diff)),
+        "L2": float(jnp.sqrt(vol * jnp.sum(diff**2))),
         "Linf": float(jnp.max(diff)),
     }

@@ -27,10 +27,12 @@ class TestConfig:
         with pytest.raises(ValueError, match="nvy"):
             bz.CollisionConfig(nv=8, nvy=7, ns=6)
 
-    def test_ds_rejects_anisotropic(self):
+    def test_ds_supports_anisotropic(self):
+        # round-2: per-axis DFT matrices (parity tests in test_oz.py)
         cfg = bz.CollisionConfig(nv=8, nvy=10, ns=6, impl="c2c")
-        with pytest.raises(ValueError, match="cubic"):
-            bz.build_ds_precomp(cfg)
+        pre = bz.build_ds_precomp(cfg)
+        assert isinstance(pre.vfwd, tuple) and len(pre.vfwd) == 3
+        assert pre.vfwd[1].re.hi.shape == (10, 10)
 
     def test_grid_properties(self):
         g = bz.VelocityGrid(nv=8, length=2.0, nvy=16, nvz=4)

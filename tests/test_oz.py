@@ -143,3 +143,24 @@ class TestPipeline:
     def test_default_contract_backend(self):
         want = "oz" if jax.default_backend() == "tpu" else "vpu"
         assert default_contract() == want
+
+
+class TestAnisotropicDs:
+    def test_matches_c2c_f64(self):
+        # per-axis DFT matrices + mode tables (reference ctor parity,
+        # FFTWBoltzmannOperator.hpp:32) through both ds engines
+        cfg64 = bz.CollisionConfig(nv=8, nvy=10, nvz=6, ns=6, n_radial=4,
+                                   impl="c2c", dtype="float64")
+        coll, pre64 = bz.make_collision_operator(cfg64)
+        f64 = np.asarray(bz.bkw_f(cfg64.velocity_grid.r_squared(), 6.5), np.float64)
+        q_ref = np.asarray(coll(f64, pre64), np.float64)
+
+        cfg = bz.CollisionConfig(nv=8, nvy=10, nvz=6, ns=6, n_radial=4,
+                                 impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(f64)
+        scale = np.max(np.abs(q_ref))
+        for engine in ("vpu", "ozk"):
+            q = ds.to_f64(collide_ds(cfg, pre, f, contract=engine))
+            assert q.shape == (8, 10, 6)
+            assert np.max(np.abs(q - q_ref)) / scale < 1e-12, engine
