@@ -257,22 +257,56 @@ def _oz_contract_kernel(
     ci = slices(xih_ref[:], xil_ref[:], si_ref[:])
     mre, mim = mre_ref[:], mim_ref[:]
 
+    # trim the stacked dot: pairs with i + j > cmax never enter the fold, so
+    # high chunks (i >= LOW) only need the first cmax+1-LOW matrix slices —
+    # two dots per component instead of one full (sx, sm) rectangle
+    low = min(4, sx)
+    lo_j = min(sm, cmax + 1)
+    hi_j = min(sm, max(cmax + 1 - low, 0)) if sx > low else 0
+
+    def products(chunks, mat):
+        p_lo = jnp.dot(
+            chunks[: low * rb, :], mat[:, : lo_j * ell],
+            preferred_element_type=jnp.float32,
+        )
+        p_hi = (
+            jnp.dot(
+                chunks[low * rb:, :], mat[:, : hi_j * ell],
+                preferred_element_type=jnp.float32,
+            )
+            if hi_j
+            else None
+        )
+
+        def tile(i, j):
+            if i < low:
+                if j >= lo_j:
+                    return None
+                return p_lo[i * rb:(i + 1) * rb, j * ell:(j + 1) * ell]
+            if p_hi is None or j >= hi_j:
+                return None
+            return p_hi[(i - low) * rb:(i - low + 1) * rb, j * ell:(j + 1) * ell]
+
+        return tile
+
     reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
-    # products sequentially (bounds live VMEM to one (sx*rb, sm*L) array)
+    # products sequentially (bounds live VMEM to one stacked product pair)
     for chunks, mat, sgn, which in (
         (cr, mre, 1.0, "re"),
         (ci, mim, -1.0, "re"),
         (cr, mim, 1.0, "im"),
         (ci, mre, 1.0, "im"),
     ):
-        p = jnp.dot(chunks, mat, preferred_element_type=jnp.float32)
+        tile = products(chunks, mat)
         for d in range(cmax + 1):
             acc = None
             for i in range(min(d, sx - 1), -1, -1):
                 j = d - i
                 if j >= sm:
                     continue
-                t = p[i * rb:(i + 1) * rb, j * ell:(j + 1) * ell]
+                t = tile(i, j)
+                if t is None:
+                    continue
                 acc = t if acc is None else acc + t  # exact (shared unit)
             if acc is None:
                 continue
@@ -289,8 +323,8 @@ def _oz_contract_kernel(
 
 
 def _row_block(rows: int) -> int:
-    # bounded by the (sx*rb, sm*L) product array in VMEM (~3.7 MB at 256)
-    for cand in (256, 128, 64, 32, 16, 8):
+    # bounded by the (sx*rb, sm*L) product array in VMEM (~7.3 MB at 512)
+    for cand in (512, 256, 128, 64, 32, 16, 8):
         if rows % cand == 0:
             return cand
     return rows
