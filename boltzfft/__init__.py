@@ -29,6 +29,7 @@ from .sharding import (
 from .cache import enable_compilation_cache, load_precomp, save_precomp
 from .checkpoint import RelaxCheckpointer
 from . import ds
+from . import oz
 from .ds_operator import (
     DsPrecomp,
     build_ds_precomp,
