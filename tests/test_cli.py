@@ -22,6 +22,18 @@ class TestMaxwellBKW:
         linf = float(out.split("Linf error:")[1].split()[0])
         assert linf < 6e-4
 
+    def test_anisotropic_flags(self, capsys):
+        # --Nvy/--Nvz (reference ctor parity) through eval, norms, and ds
+        from boltzfft.cli.maxwell_bkw import main
+
+        assert main(["--Nv", "16", "--Nvy", "12", "--Nvz", "8",
+                     "--Ns", "6", "--impl", "c2c"]) == 0
+        out = capsys.readouterr().out
+        assert "Linf error:" in out
+        assert main(["--Nv", "8", "--Nvy", "10", "--Nvz", "6", "--Ns", "6",
+                     "--n-radial", "2", "--impl", "ds"]) == 0
+        assert "Linf error:" in capsys.readouterr().out
+
     def test_relaxation_mode(self, capsys):
         from boltzfft.cli.maxwell_bkw import main
 
