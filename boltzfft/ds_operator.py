@@ -40,6 +40,7 @@ from . import modes as _modes
 from . import oz
 from . import quadrature as _quad
 from .ds import CDS, DS
+from . import weights as _weights
 from .weights import CollisionConfig, sincc
 
 
@@ -101,9 +102,9 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
     length = cfg.domain_length
 
     gl = _quad.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
-    sph = _quad.spherical_design(cfg.ns)
+    sph = _weights.spherical_quadrature(cfg)  # antipodally reduced if enabled
     rho = gl.nodes  # (n_gl,)
-    sigma = sph.points  # (ns, 3)
+    sigma = sph.points  # (ns_eff, 3)
 
     modes = [
         _modes.fft_modes(n).astype(np.float64) for n in (nx, ny, nz)
@@ -196,7 +197,7 @@ def collide_ds(
     the radial-group scan and the final inverse — the radial-sharded
     operator passes the compensated cross-device fold here.
     """
-    ns = cfg.ns
+    ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
     if contract in ("oz", "ozk"):
         kern = True if contract == "ozk" else None

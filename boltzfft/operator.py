@@ -218,7 +218,7 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
             pre.dft_inv, pre.dft_fwd, pre.norm_l,
             length=cfg.domain_length, b_gamma=cfg.b_gamma,
             nodes_per_step=cfg.fused_nodes_per_step,
-            radial_group=cfg.ns,
+            radial_group=cfg.ns_eff,
             precision=cfg.fused_precision,
             scheme=cfg.fused_scheme,
             radix=cfg.fused_radix,
@@ -265,7 +265,7 @@ def _fused_io_collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray):
         pre.dft_inv, pre.dft_fwd, pre.norm_l,
         length=cfg.domain_length, b_gamma=cfg.b_gamma,
         nodes_per_step=cfg.fused_nodes_per_step,
-        radial_group=cfg.ns,
+        radial_group=cfg.ns_eff,
         precision=cfg.fused_precision,
         radix=cfg.fused_radix,
         sub_batch=cfg.fused_sub_batch,

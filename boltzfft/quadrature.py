@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
@@ -127,3 +128,57 @@ def spherical_design(n: int) -> SphericalQuadrature:
         raise RuntimeError(f"Bad node table {path}: shape {pts.shape} != ({n}, 3)")
     weights = np.full(n, 4.0 * np.pi / n)
     return SphericalQuadrature(points=pts, weights=weights)
+
+
+def antipodal_pairs(points: np.ndarray) -> Optional[np.ndarray]:
+    """Pair indices ``(n/2, 2)`` if the node set is *exactly* closed under
+    ``sigma -> -sigma`` (bit-for-bit), else ``None``.
+
+    All shipped tables are *symmetric* spherical t-designs (the ``ss`` prefix
+    of the reference's node files, ``SphericalDesign.cpp:12-24``): every node's
+    antipode is in the table, stored with exactly negated coordinates.  This is
+    verified here, not assumed, so a user-supplied asymmetric quadrature falls
+    back to the full node set.
+    """
+    n = points.shape[0]
+    if n % 2:
+        return None
+    index = {pt.tobytes(): i for i, pt in enumerate(points)}
+    pairs, seen = [], set()
+    for i, pt in enumerate(points):
+        if i in seen:
+            continue
+        j = index.get((-pt).tobytes())
+        if j is None or j == i or j in seen:
+            return None
+        pairs.append((i, j))
+        seen.update((i, j))
+    return np.asarray(pairs, np.int64)
+
+
+def antipodal_reduce(sph: SphericalQuadrature) -> SphericalQuadrature:
+    """Half-design with doubled weights, exact for even integrands.
+
+    The collision pipeline's per-node contribution is even in ``sigma``: the
+    shifted convolution factors satisfy ``g2(sigma) = g1(-sigma)`` (alpha2 =
+    conj(alpha1) and ``alpha1(-sigma) = conj(alpha1(sigma))``), so the gain
+    terms of a node and its antipode are bitwise identical —
+    ``w h(sigma) + w h(-sigma) = 2 w h(sigma)`` exactly.  Halving the node set
+    with doubled weights therefore halves the dominant per-node work of every
+    implementation while reproducing the full-design sum up to summation
+    order.  (The reference evaluates all ``Ns`` nodes,
+    ``FFTWBoltzmannOperator.cpp:191-276`` — this symmetry is left on the
+    table there.)
+
+    Raises ``ValueError`` if the design is not exactly antipodally symmetric.
+    """
+    pairs = antipodal_pairs(sph.points)
+    if pairs is None:
+        raise ValueError(
+            "spherical quadrature is not exactly antipodally symmetric; "
+            "use the full design (antipodal=False)"
+        )
+    keep = pairs[:, 0]
+    return SphericalQuadrature(
+        points=sph.points[keep], weights=2.0 * sph.weights[keep]
+    )

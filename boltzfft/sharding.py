@@ -64,7 +64,7 @@ def _node_sharded_precomp(cfg: CollisionConfig, n_shards: int) -> Precomp:
         # The megakernel's radial-group hoisting assumes every group of
         # consecutive nodes shares one rho; shard boundaries must therefore
         # fall on whole spherical-design groups.
-        local = -(-local // cfg.ns) * cfg.ns
+        local = -(-local // cfg.ns_eff) * cfg.ns_eff
     if cfg.node_chunk is not None:
         c = cfg.chunk
         local = -(-local // c) * c

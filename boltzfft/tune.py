@@ -44,10 +44,10 @@ def _default_candidates(cfg: CollisionConfig) -> list:
 
     b = cfg.n_nodes
     seen, cands = set(), []
-    for nps in (cfg.ns, 2 * cfg.ns, 24, 48, 4 * cfg.ns):
+    for nps in (cfg.ns_eff, 2 * cfg.ns_eff, 24, 48, 4 * cfg.ns_eff):
         for sb in (0, 4, 8):
             try:
-                c, cc, gs = pk._ct_node_blocking(b, cfg.nv, nps, cfg.ns, sb)
+                c, cc, gs = pk._ct_node_blocking(b, cfg.nv, nps, cfg.ns_eff, sb)
             except ValueError:
                 continue
             if (c, cc) in seen:

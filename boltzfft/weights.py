@@ -101,6 +101,14 @@ class CollisionConfig:
     fused_scheme: str = "auto"
     fused_radix: int = 0  # ct radix R (0 = auto: S = N/R = 16 preferred)
     fused_sub_batch: int = 0  # ct nodes per inner matmul stack (0 = auto)
+    # Antipodal-pair reduction: the shipped spherical designs are symmetric
+    # (sigma in the table => -sigma in the table, exactly), and the per-node
+    # gain contributions of a node and its antipode are bitwise identical
+    # (g2(sigma) = g1(-sigma); see quadrature.antipodal_reduce).  True halves
+    # the quadrature batch with doubled weights — same sum up to summation
+    # order, half the per-node work.  False evaluates all ns nodes like the
+    # reference (FFTWBoltzmannOperator.cpp:191-276).
+    antipodal: bool = True
 
     def __post_init__(self):
         if self.impl not in ("rfft", "c2c", "dft", "fused"):
@@ -136,6 +144,8 @@ class CollisionConfig:
                 f"No spherical design with {self.ns} points; available: "
                 f"{sorted(_quad.SPHERICAL_DESIGN_FILES)}"
             )
+        if self.antipodal and self.ns % 2:
+            raise ValueError("antipodal reduction requires an even ns")
 
     # ---- derived static quantities -------------------------------------
     @property
@@ -164,9 +174,15 @@ class CollisionConfig:
         return 0.5 * (3.0 + math.sqrt(2.0)) * self.support_radius
 
     @property
+    def ns_eff(self) -> int:
+        """Spherical nodes actually evaluated: ns/2 under the (exact)
+        antipodal-pair reduction, ns otherwise."""
+        return self.ns // 2 if self.antipodal else self.ns
+
+    @property
     def n_nodes(self) -> int:
-        """Quadrature batch size B = N_gl * N_sph."""
-        return self.n_gl * self.ns
+        """Quadrature batch size B = N_gl * N_sph(effective)."""
+        return self.n_gl * self.ns_eff
 
     @property
     def chunk(self) -> int:
@@ -254,19 +270,28 @@ def sincc(x: np.ndarray | jnp.ndarray, eps: float):
     return xp.sin(x + eps) / (x + eps)
 
 
+def spherical_quadrature(cfg: CollisionConfig) -> _quad.SphericalQuadrature:
+    """The configuration's spherical rule, antipodally reduced when enabled."""
+    sph = _quad.spherical_design(cfg.ns)
+    if cfg.antipodal:
+        sph = _quad.antipodal_reduce(sph)
+    return sph
+
+
 def build_precomp(cfg: CollisionConfig) -> Precomp:
     """Build the quadrature/mode/weight pytree (float64 host math, cast once)."""
     n = cfg.nv
     length = cfg.domain_length
 
     gl = _quad.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
-    sph = _quad.spherical_design(cfg.ns)
+    sph = spherical_quadrature(cfg)
+    ns = sph.n  # == cfg.ns_eff
 
     # Node-major flattening b = r * Ns + s (FFTWBoltzmannOperator.cpp:196).
-    rho = np.repeat(gl.nodes, cfg.ns)  # (B,)
+    rho = np.repeat(gl.nodes, ns)  # (B,)
     sigma = np.tile(sph.points, (cfg.n_gl, 1))  # (B, 3)
     gain_w = np.repeat(
-        gl.weights * gl.nodes ** (cfg.gamma + 2.0), cfg.ns
+        gl.weights * gl.nodes ** (cfg.gamma + 2.0), ns
     ) * np.tile(sph.weights, cfg.n_gl)
 
     # Pad the node axis so it splits into equal chunks (and shards evenly).

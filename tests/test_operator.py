@@ -158,7 +158,7 @@ class TestFusedCT:
         q_hat = pk.fused_gain(
             pre.rho, pre.gain_w, ax, ay, az, fh, pre.dft_inv, pre.dft_fwd,
             pre.norm_l, length=cfg.domain_length, b_gamma=cfg.b_gamma,
-            scheme="ct", radial_group=cfg.ns,
+            scheme="ct", radial_group=cfg.ns_eff,
         )
         cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
         ref = gain_spectrum(cfg_c, bz.build_precomp(cfg_c), fh)
@@ -201,8 +201,10 @@ class TestFusedCT:
         )
 
     def test_explicit_sub_batch(self):
-        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused", fused_sub_batch=2)
-        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        # ns=12 -> ns_eff=6 antipodal-reduced nodes/radial group; sub_batch=2
+        # must divide that group size.
+        cfg = bz.CollisionConfig(nv=16, ns=12, impl="fused", fused_sub_batch=2)
+        cfg_c = bz.CollisionConfig(nv=16, ns=12, impl="c2c")
         coll, pre = bz.make_collision_operator(cfg)
         coll_c, pre_c = bz.make_collision_operator(cfg_c)
         _, f, _ = _bkw_setup(cfg)
@@ -266,7 +268,7 @@ class TestFusedLimits:
             return pk.fused_gain(
                 p.rho, p.gain_w, ax, ay, az, fh, p.dft_inv, p.dft_fwd,
                 p.norm_l, length=cfg.domain_length, b_gamma=cfg.b_gamma,
-                scheme="transpose", radial_group=cfg.ns,
+                scheme="transpose", radial_group=cfg.ns_eff,
             )
 
         import jax.numpy as jnp
@@ -306,10 +308,10 @@ class TestChunking:
         # not silently collapse to one whole-batch chunk.
         from boltzfft.operator import gain_spectrum
 
-        cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=7)  # B=96, 96%7!=0
+        cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=7)  # B=48, 48%7!=0
         cfg_1 = bz.CollisionConfig(nv=16, ns=6, node_chunk=None)
-        pre = bz.build_precomp(cfg_1)  # unpadded: 96 nodes exactly
-        assert pre.rho.shape[0] == 96
+        pre = bz.build_precomp(cfg_1)  # unpadded: 16*3 antipodal-reduced nodes
+        assert pre.rho.shape[0] == cfg.n_nodes == 48
         _, f, _ = _bkw_setup(cfg)
         import jax.numpy as jnp
 
@@ -461,4 +463,40 @@ class TestDtypes:
         np.testing.assert_allclose(
             np.asarray(q_batch[1]), 0.25 * np.asarray(q0),
             atol=1e-12 * float(jnp.abs(q0).max()),
+        )
+
+
+class TestAntipodalReduction:
+    """The antipodal-pair quadrature reduction (exact; see
+    quadrature.antipodal_reduce) against the full-design evaluation."""
+
+    @pytest.mark.parametrize("impl", ["c2c", "rfft", "fused"])
+    def test_half_design_matches_full(self, impl):
+        cfg_h = bz.CollisionConfig(nv=16, ns=12, impl=impl)
+        cfg_f = bz.CollisionConfig(nv=16, ns=12, impl=impl, antipodal=False)
+        assert cfg_h.n_nodes == cfg_f.n_nodes // 2
+        coll_h, pre_h = bz.make_collision_operator(cfg_h)
+        coll_f, pre_f = bz.make_collision_operator(cfg_f)
+        _, f, _ = _bkw_setup(cfg_h)
+        qh = np.asarray(coll_h(f, pre_h))
+        qf = np.asarray(coll_f(f, pre_f))
+        # identical contributions, only summation order differs
+        np.testing.assert_allclose(qh, qf, atol=1e-14 * np.abs(qf).max())
+
+    def test_full_design_direct_sum_parity(self):
+        # antipodal=False falls back to the reference's full node loop and
+        # still matches the independent direct-sum oracle.
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=6, impl="rfft",
+                                 antipodal=False)
+        coll, pre = bz.make_collision_operator(cfg)
+        _, f, _ = _bkw_setup(cfg)
+        gl = bz.gauss_legendre(cfg.n_gl, 0.0, cfg.r_max)
+        sph = bz.spherical_design(cfg.ns)
+        q_direct = direct_collision(
+            np.asarray(f), gl.nodes, gl.weights, sph.points, sph.weights,
+            cfg.domain_length, cfg.gamma, cfg.b_gamma,
+        )
+        q = np.asarray(coll(f, pre))
+        np.testing.assert_allclose(
+            q, q_direct, atol=1e-13 * np.abs(q_direct).max()
         )

@@ -77,3 +77,35 @@ class TestSphericalDesign:
     def test_invalid_n(self):
         with pytest.raises(ValueError):
             quad.spherical_design(13)
+
+
+class TestAntipodalReduce:
+    @pytest.mark.parametrize("n", sorted(quad.SPHERICAL_DESIGN_FILES))
+    def test_reduces_every_shipped_design(self, n):
+        sph = quad.spherical_design(n)
+        half = quad.antipodal_reduce(sph)
+        assert half.n == n // 2
+        # weights still integrate constants: sum w = 4*pi
+        np.testing.assert_allclose(half.weights.sum(), 4 * np.pi, rtol=1e-14)
+        # kept nodes plus their negations recover the full set exactly
+        full = {p.tobytes() for p in sph.points}
+        rec = {p.tobytes() for p in half.points} | {
+            (-p).tobytes() for p in half.points
+        }
+        assert rec == full
+        # even integrands integrate identically (bitwise-equal terms)
+        x2 = (sph.points[:, 0] ** 2 * sph.weights).sum()
+        x2h = (half.points[:, 0] ** 2 * half.weights).sum()
+        np.testing.assert_allclose(x2h, x2, rtol=1e-15)
+
+    def test_asymmetric_set_rejected(self):
+        pts = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        sph = quad.SphericalQuadrature(
+            points=pts, weights=np.full(2, 2 * np.pi)
+        )
+        with pytest.raises(ValueError, match="antipodal"):
+            quad.antipodal_reduce(sph)
+
+    def test_pairs_none_for_odd(self):
+        pts = np.array([[1.0, 0.0, 0.0]])
+        assert quad.antipodal_pairs(pts) is None

@@ -62,7 +62,7 @@ class TestNodeSharding:
         q_ref = np.asarray(coll_ref(f, pre_ref))
         mesh = bz.make_mesh([(bz.NODE_AXIS, 5)])
         coll_sh, pre_sh = bz.make_sharded_collision_operator(cfg, mesh)
-        assert pre_sh.rho.shape[0] % (5 * cfg.ns) == 0
+        assert pre_sh.rho.shape[0] % (5 * cfg.ns_eff) == 0
         q_sh = np.asarray(coll_sh(f, pre_sh))
         np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * np.abs(q_ref).max())
 

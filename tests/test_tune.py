@@ -33,7 +33,7 @@ class TestAutotune:
         seen = set()
         for nps, sb in cands:
             c, cc, gs = pk._ct_node_blocking(cfg.n_nodes, cfg.nv, nps,
-                                             cfg.ns, sb)
+                                             cfg.ns_eff, sb)
             assert (c, cc) not in seen
             seen.add((c, cc))
 

@@ -20,7 +20,8 @@ class TestAutoChunk:
 
     def test_explicit_chunk_respected(self):
         cfg = bz.CollisionConfig(nv=32, ns=12, node_chunk=96)
-        assert cfg.chunk == 96 and cfg.n_chunks == 4
+        # B = 32 radial * 6 antipodal-reduced spherical nodes = 192
+        assert cfg.chunk == 96 and cfg.n_chunks == 2
 
     def test_chunk_never_exceeds_batch(self):
         cfg = bz.CollisionConfig(nv=16, ns=6, node_chunk=10_000)
@@ -74,8 +75,9 @@ class TestPrecomp:
         cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, gamma=1.0)
         pre = build_precomp(cfg)
         gl = bz.gauss_legendre(4, 0.0, cfg.r_max)
-        sph = bz.spherical_design(6)
-        expect = np.repeat(gl.weights * gl.nodes**3.0, 6) * np.tile(sph.weights, 4)
+        from boltzfft.weights import spherical_quadrature
+        sph = spherical_quadrature(cfg)  # 3 antipodal-reduced nodes, 2x weight
+        expect = np.repeat(gl.weights * gl.nodes**3.0, 3) * np.tile(sph.weights, 4)
         np.testing.assert_allclose(np.asarray(pre.gain_w), expect, rtol=1e-14)
 
     def test_beta2_positive_at_origin(self):
