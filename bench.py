@@ -78,7 +78,15 @@ def main():
         raise TimeoutError("benchmark watchdog expired")
 
     signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(1200)
+    # Budget covers a fully cold run (the 64^3 ds-oz program alone compiles
+    # ~9 min); the persistent compilation cache (FFTW-wisdom analog) makes
+    # warm reruns fast.  Each metric below has its own try/except, so an
+    # expired watchdog truncates the slowest metric, not the whole line.
+    signal.alarm(2400)
+    try:
+        bz.enable_compilation_cache("/root/repo/.xla_cache")
+    except Exception:
+        pass
     result = {
         "metric": "collision_evals_per_sec_nv32_ns12_f32",
         "value": 0,
@@ -115,6 +123,16 @@ def main():
             result["ds_oz_nv32_ns12"] = _measure_ds(32, 12, k=2)
         except Exception as e:
             result["ds_oz_nv32_ns12"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # fourth tracked config: ds-oz at 64^3 — the accuracy axis the
+        # reference's flagship result lives on (f64 CPU node: 2.02 evals/s at
+        # Linf 3.07e-12, BASELINE.md:18).  vs_baseline > 1 here means the TPU
+        # beats the reference at the reference's own accuracy.
+        try:
+            r64 = _measure_ds(64, 12, k=2)
+            r64["vs_baseline"] = round(r64["value"] * 4.9432e-01, 3)
+            result["ds_oz_nv64_ns12"] = r64
+        except Exception as e:
+            result["ds_oz_nv64_ns12"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     except Exception as e:
         result["error"] = f"{type(e).__name__}: {e}"[:200]
     finally:

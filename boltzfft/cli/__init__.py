@@ -54,6 +54,11 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
                    help="VHS velocity exponent (0=Maxwell, 1=hard spheres)")
     p.add_argument("--b-gamma", type=float, default=None,
                    help="VHS kernel coefficient (default 1/(4*pi))")
+    p.add_argument(
+        "--no-antipodal", dest="antipodal", action="store_false",
+        help="evaluate all Ns spherical nodes like the reference instead of "
+             "the exact antipodal-pair reduction (Ns/2 nodes, 2x weights)",
+    )
     return p
 
 
@@ -61,7 +66,7 @@ def vhs_kwargs(args) -> dict:
     """CollisionConfig kwargs for the VHS kernel flags."""
     import math
 
-    kw = {"gamma": args.gamma}
+    kw = {"gamma": args.gamma, "antipodal": getattr(args, "antipodal", True)}
     if args.b_gamma is not None:
         kw["b_gamma"] = args.b_gamma
     else:

@@ -106,10 +106,18 @@ def _run_checkpointed(args, bz, cfg, collide_fn, pre, f0, v, g):
     import numpy as np
 
     seg = args.checkpoint_every or args.steps
-    run_seg = bz.make_relaxation(
-        collide_fn, pre, dt=args.dt, n_steps=seg, method="rk4",
-        record=lambda f: bz.moments(f, v, g.dv),
-    )
+    # Segment runners per length: the final (or resume-misaligned) segment is
+    # min(seg, remaining) steps so the checkpointed trajectory is step-for-step
+    # identical to an uninterrupted run (no overshoot past --steps).
+    runners = {}
+
+    def run_for(n_steps):
+        if n_steps not in runners:
+            runners[n_steps] = bz.make_relaxation(
+                collide_fn, pre, dt=args.dt, n_steps=n_steps, method="rk4",
+                record=lambda f: bz.moments(f, v, g.dv),
+            )
+        return runners[n_steps]
 
     with bz.RelaxCheckpointer(args.checkpoint_dir) as ck:
         start, t_sim, f = 0, 0.0, f0
@@ -121,10 +129,11 @@ def _run_checkpointed(args, bz, cfg, collide_fn, pre, f0, v, g):
         step = start
         t0 = time.perf_counter()
         while step < args.steps:
-            traj = run_seg(f)
+            this_seg = min(seg, args.steps - step)
+            traj = run_for(this_seg)(f)
             f = traj.f
-            step += seg
-            t_sim += seg * args.dt
+            step += this_seg
+            t_sim += this_seg * args.dt
             jax.block_until_ready(f)
             ck.save(step, f, t_sim)
             mass = np.asarray(traj.recorded.mass)

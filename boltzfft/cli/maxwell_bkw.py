@@ -42,7 +42,8 @@ def main(argv=None):
     # Maxwell molecules by default (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
     cfg = bz.CollisionConfig(
         nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=args.impl,
-        dtype=dtype, node_chunk=args.node_chunk, **vhs_kwargs(args),
+        dtype=dtype, node_chunk=args.node_chunk, n_radial=args.n_radial,
+        **vhs_kwargs(args),
     )
     if args.gamma != 0.0:
         print("note: BKW error report is only meaningful for Maxwell molecules (gamma=0)")

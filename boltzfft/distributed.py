@@ -105,8 +105,12 @@ def make_multihost_mesh(
 
     * ``node_devices_per_host``: node-axis span per host (default: all local
       devices of each host).
-    * ``ensemble_hosts=False`` collapses the ensemble axis (single host or
-      explicit node-only runs).
+    * ``ensemble_hosts=False`` asserts the run is node-only across hosts: it
+      rejects multi-process topologies whose node psum would cross DCN.  On a
+      single process it is purely an assertion — the mesh is still 2-D, with
+      ensemble size ``len(devices) // node_size`` (1 when ``node_size`` spans
+      all devices); pass ``node_devices_per_host=len(jax.devices())`` for a
+      node-only 1-wide-ensemble mesh.
 
     On one process this degenerates to the single-host 2-D mesh from
     :func:`boltzfft.make_mesh`.

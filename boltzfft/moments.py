@@ -37,6 +37,8 @@ def moments(f: jnp.ndarray, v, dv: float | None = None, *,
         w = cell_volume
     else:
         vx = vy = vz = v
+        if cell_volume is None and dv is None:
+            raise ValueError("pass dv or cell_volume")
         w = cell_volume if cell_volume is not None else dv**3
     mass = jnp.sum(f, axis=(-3, -2, -1)) * w
     mx = jnp.sum(f * vx[:, None, None], axis=(-3, -2, -1)) * w

@@ -319,7 +319,9 @@ def _fused_gain_kron_kernel(
 def _ct_pick_radix(n: int, radix: int = 0) -> int:
     """Radix R for the ct scheme (0 = auto).  Hardware-valid splits need
     S = N/R in {16, 32} (parity blocks of S^2 lanes must be 128-multiples);
-    smaller S is allowed for interpret-mode tests.  Returns 0 if none."""
+    smaller S is allowed only in interpret mode (tests), never auto-selected
+    for a real TPU — those sizes fall back to the kron/transpose schemes.
+    Returns 0 if no valid split exists."""
     if radix:
         if n % radix or n // radix < 2:
             raise ValueError(f"radix {radix} invalid for n={n}")
@@ -328,9 +330,10 @@ def _ct_pick_radix(n: int, radix: int = 0) -> int:
         return n // 16  # S=16: FLOP-optimal, 256-lane blocks
     if n % 32 == 0 and n // 32 >= 2:
         return n // 32
-    for r in (2, 3, 4, 5, 6, 8):  # small-n test fallback (interpret mode)
-        if n % r == 0 and n // r >= 4:
-            return r
+    if _interpret():
+        for r in (2, 3, 4, 5, 6, 8):  # small-n test fallback (interpret only)
+            if n % r == 0 and n // r >= 4:
+                return r
     return 0
 
 
