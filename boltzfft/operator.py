@@ -100,9 +100,10 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
     # transform matrices are *shared* across nodes (the per-node phases are
     # applied as one fused elementwise multiply first): a shared (N, N) matrix
     # against a (N, C*N^2) stack keeps the MXU pipeline full, whereas per-node
-    # batched (N, N) matmuls are latency-bound.
-    vr, vi = pre.dft_inv[0], pre.dft_inv[1]
-    fr, fi = pre.dft_fwd[0], pre.dft_fwd[1]
+    # batched (N, N) matmuls are latency-bound.  Anisotropic grids use one
+    # matrix per axis (``Precomp.dft_*_axes``).
+    inv_mats = pre.dft_inv_axes()
+    fwd_mats = pre.dft_fwd_axes()
 
     def cmatmul(spec_str, mr, mi, tr, ti):
         """Complex contraction (mr + i mi) . (tr + i ti) via 3 real einsums
@@ -114,24 +115,24 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
         return p1 - p2, p3 - p1 - p2
 
     def mm3(mats, sr, si):
-        # 3-axis tensor transform with shared per-axis matrices
-        mr, mi = mats
-        sr, si = cmatmul("xm,bmjk->bxjk", mr, mi, sr, si)
-        sr, si = cmatmul("yn,bxnk->bxyk", mr, mi, sr, si)
-        return cmatmul("zp,bxyp->bxyz", mr, mi, sr, si)
+        # 3-axis tensor transform with per-axis (2, N, N) matrix stacks
+        mx, my, mz = mats
+        sr, si = cmatmul("xm,bmjk->bxjk", mx[0], mx[1], sr, si)
+        sr, si = cmatmul("yn,bxnk->bxyk", my[0], my[1], sr, si)
+        return cmatmul("zp,bxyp->bxyz", mz[0], mz[1], sr, si)
 
     # fused per-node phase multiply (same elementwise cost as the rfft path)
     a1 = ax[:, :, None, None] * ay[:, None, :, None] * az[:, None, None, :]
     a1f = a1 * f_hat[None]
     a2f = jnp.conj(a1) * f_hat[None]
 
-    g1r, g1i = mm3((vr, vi), jnp.real(a1f).astype(rd), jnp.imag(a1f).astype(rd))
-    g2r, g2i = mm3((vr, vi), jnp.real(a2f).astype(rd), jnp.imag(a2f).astype(rd))
+    g1r, g1i = mm3(inv_mats, jnp.real(a1f).astype(rd), jnp.imag(a1f).astype(rd))
+    g2r, g2i = mm3(inv_mats, jnp.real(a2f).astype(rd), jnp.imag(a2f).astype(rd))
     hr = g1r * g2r - g1i * g2i
     hi = g1r * g2i + g1i * g2r
 
     # shared forward transform (modes <- positions)
-    hr, hi = mm3((fr, fi), hr, hi)
+    hr, hi = mm3(fwd_mats, hr, hi)
 
     w = gain_w[:, None, None, None] * _beta1(cfg, pre, rho)
     qr = jnp.sum(w * hr, axis=0)
@@ -215,7 +216,7 @@ def gain_spectrum(cfg: CollisionConfig, pre: Precomp, f_hat) -> jnp.ndarray:
         ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
         return pk.fused_gain(
             pre.rho, pre.gain_w, ax, ay, az, f_hat,
-            pre.dft_inv, pre.dft_fwd, pre.norm_l,
+            pre.dft_inv_axes(), pre.dft_fwd_axes(), pre.norm_l,
             length=cfg.domain_length, b_gamma=cfg.b_gamma,
             nodes_per_step=cfg.fused_nodes_per_step,
             radial_group=cfg.ns_eff,
@@ -262,7 +263,7 @@ def _fused_io_collide(cfg: CollisionConfig, pre: Precomp, f: jnp.ndarray):
     ax, ay, az = _alpha_factors(cfg, pre, pre.rho, pre.sigma)
     return pk.fused_collide(
         pre.rho, pre.gain_w, ax, ay, az, f, pre.beta2,
-        pre.dft_inv, pre.dft_fwd, pre.norm_l,
+        pre.dft_inv_axes(), pre.dft_fwd_axes(), pre.norm_l,
         length=cfg.domain_length, b_gamma=cfg.b_gamma,
         nodes_per_step=cfg.fused_nodes_per_step,
         radial_group=cfg.ns_eff,
@@ -334,7 +335,11 @@ def collide(
 
         scheme = cfg.fused_scheme
         if scheme == "auto":
-            scheme = "ct" if pk._ct_pick_radix(cfg.nv) else "kron"
+            # ct needs a valid radix split for BOTH lane axes (x is a dense
+            # matmul in every scheme, so nv itself never constrains ct)
+            _, ny, nz = cfg.grid_shape
+            ct_ok = pk._ct_pick_radix(ny) and pk._ct_pick_radix(nz)
+            scheme = "ct" if ct_ok else "kron"
         if scheme == "ct":
             return _fused_io_diff(cfg, pre, f)
     if cfg.impl == "rfft":

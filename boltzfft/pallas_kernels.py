@@ -211,15 +211,16 @@ def _fused_gain_kron_kernel(
     fr_ref, fi_ref, vr_ref, vi_ref, fwr_ref, fwi_ref, kr_ref, ki_ref, nl_ref,
     or_ref, oi_ref,
     g1r_s, g1i_s, g2r_s, g2i_s,
-    *, n, c, gs, coef, amp, eps, precision,
+    *, nx, nyz, c, gs, coef, amp, eps, precision,
 ):
-    """Transpose-free scheme: tensors live as (C, N, N^2) with (j,k) fused on
-    the lane axis.  The y/z transform is ONE right-multiply by the shared
-    Kronecker matrix Vyz = V (x) V — contraction depth N^2 keeps the MXU tiles
-    completely full — and the x transform is a per-node left-multiply with the
-    alpha_x phase folded into the (N, N) matrix.  No vector transposes or
-    lane-crossing reshapes anywhere.  ``gs`` nodes share a radial quadrature
-    point and get one forward transform (see the group-sum hoisting below).
+    """Transpose-free scheme: tensors live as (C, Nx, Ny*Nz) with (j,k) fused
+    on the lane axis.  The y/z transform is ONE right-multiply by the shared
+    Kronecker matrix Vyz = Vy (x) Vz — contraction depth Ny*Nz keeps the MXU
+    tiles completely full — and the x transform is a per-node left-multiply
+    with the alpha_x phase folded into the (Nx, Nx) matrix.  No vector
+    transposes or lane-crossing reshapes anywhere.  ``gs`` nodes share a
+    radial quadrature point and get one forward transform (see the group-sum
+    hoisting below).
     """
     i = pl.program_id(0)
 
@@ -228,9 +229,9 @@ def _fused_gain_kron_kernel(
         or_ref[:] = jnp.zeros_like(or_ref)
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
-    fr, fi = fr_ref[:], fi_ref[:]  # (N, N^2) f_hat planes
+    fr, fi = fr_ref[:], fi_ref[:]  # (Nx, Ny*Nz) f_hat planes
     vr, vi = vr_ref[:], vi_ref[:]
-    kr, ki = kr_ref[:], ki_ref[:]  # (N^2, N^2) kron(Vinv, Vinv), symmetric
+    kr, ki = kr_ref[:], ki_ref[:]  # (NyNz, NyNz) kron(Vy_inv, Vz_inv), symmetric
 
     def cmm(ar, ai, br, bi):  # Karatsuba complex matmul of 2-D values
         dot = partial(jnp.dot, preferred_element_type=ar.dtype, precision=precision)
@@ -241,14 +242,14 @@ def _fused_gain_kron_kernel(
 
     def inverse(sign, out_r, out_i):
         # t = (ayz^sign) * f_hat, lane-phase per node
-        pr = ayzr_ref[:].reshape(c, 1, n * n)
-        pi = sign * ayzi_ref[:].reshape(c, 1, n * n)
-        tr = fr * pr - fi * pi  # (C, N, N^2)
+        pr = ayzr_ref[:].reshape(c, 1, nyz)
+        pi = sign * ayzi_ref[:].reshape(c, 1, nyz)
+        tr = fr * pr - fi * pi  # (C, Nx, Ny*Nz)
         ti = fr * pi + fi * pr
         # y/z axes: one shared full-depth Kron matmul (K symmetric)
-        tr2, ti2 = cmm(tr.reshape(c * n, n * n), ti.reshape(c * n, n * n), kr, ki)
-        tr2 = tr2.reshape(c, n, n * n)
-        ti2 = ti2.reshape(c, n, n * n)
+        tr2, ti2 = cmm(tr.reshape(c * nx, nyz), ti.reshape(c * nx, nyz), kr, ki)
+        tr2 = tr2.reshape(c, nx, nyz)
+        ti2 = ti2.reshape(c, nx, nyz)
         # x axis: per-node left-multiply, alpha_x folded into the matrix
         for cc in range(c):
             mxr = vr * axr_ref[cc, :] - vi * (sign * axi_ref[cc, :])
@@ -272,19 +273,20 @@ def _fused_gain_kron_kernel(
     base = i * c
     n_groups = c // gs
     fwr, fwi = fwr_ref[:], fwi_ref[:]
-    n2 = float(n * n)
+    n2 = float(nyz)
     nl = nl_ref[:]
     acc_r = jnp.zeros_like(nl)
     acc_i = jnp.zeros_like(nl)
     for g in range(n_groups):
-        sr = jnp.zeros((n, n * n), hr.dtype)
-        si = jnp.zeros((n, n * n), hi.dtype)
+        sr = jnp.zeros((nx, nyz), hr.dtype)
+        si = jnp.zeros((nx, nyz), hi.dtype)
         for cc in range(g * gs, (g + 1) * gs):
             w = gw_ref[base + cc]
             sr = sr + w * hr[cc]
             si = si + w * hi[cc]
         # forward transform of the group sum: x axis with the shared F
-        # matrix, then y/z via the conjugate-scaled Kron (F (x) F = N^2 conj K)
+        # matrix, then y/z via the conjugate-scaled Kron
+        # (F_y (x) F_z = Ny*Nz conj K)
         sr, si = cmm(fwr, fwi, sr, si)
         sr, si = cmm(sr, si, n2 * kr, -n2 * ki)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
@@ -337,22 +339,23 @@ def _ct_pick_radix(n: int, radix: int = 0) -> int:
     return 0
 
 
-def _ct_mode_perm(n: int, r: int) -> np.ndarray:
-    """new-lane -> old-lane map for the block-major mode basis."""
-    s = n // r
+def _ct_mode_perm(ny: int, ry: int, nz: int, rz: int) -> np.ndarray:
+    """new-lane -> old-lane map for the block-major mode basis (per-axis
+    radix: the y axis splits as Ny = Ry*Sy, z as Nz = Rz*Sz)."""
+    sy, sz = ny // ry, nz // rz
     py, pz, ly, lz = np.meshgrid(
-        np.arange(r), np.arange(r), np.arange(s), np.arange(s), indexing="ij"
+        np.arange(ry), np.arange(rz), np.arange(sy), np.arange(sz), indexing="ij"
     )
-    return ((r * ly + py) * n + (r * lz + pz)).reshape(-1)
+    return ((ry * ly + py) * nz + (rz * lz + pz)).reshape(-1)
 
 
-def _ct_pos_perm(n: int, r: int) -> np.ndarray:
+def _ct_pos_perm(ny: int, ry: int, nz: int, rz: int) -> np.ndarray:
     """new-lane -> old-lane map for the block-major position basis."""
-    s = n // r
+    sy, sz = ny // ry, nz // rz
     ay, az, yy, zz = np.meshgrid(
-        np.arange(r), np.arange(r), np.arange(s), np.arange(s), indexing="ij"
+        np.arange(ry), np.arange(rz), np.arange(sy), np.arange(sz), indexing="ij"
     )
-    return ((s * ay + yy) * n + (s * az + zz)).reshape(-1)
+    return ((sy * ay + yy) * nz + (sz * az + zz)).reshape(-1)
 
 
 def _inv_perm(p: np.ndarray) -> np.ndarray:
@@ -361,21 +364,32 @@ def _inv_perm(p: np.ndarray) -> np.ndarray:
     return inv
 
 
-def _ct_tables(n: int, r: int):
+def _ct_tables(ny: int, ry: int, nz: int, rz: int):
     """(K_inv re/im, twiddle re/im) numpy f64 tables for the ct scheme."""
-    s = n // r
-    lp = np.arange(s)
-    u = np.exp(2j * np.pi * np.outer(lp, lp) / s) / s  # inverse S-point, 1/S
-    k = np.kron(u, u) / (r * r)  # fold the remaining 1/R^2 of the 1/N^2
-    yy, zz = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    sy, sz = ny // ry, nz // rz
+
+    def u(s):
+        lp = np.arange(s)
+        return np.exp(2j * np.pi * np.outer(lp, lp) / s) / s  # inverse, 1/S
+
+    k = np.kron(u(sy), u(sz)) / (ry * rz)  # fold the rest of 1/(Ny*Nz)
+    yy, zz = np.meshgrid(np.arange(sy), np.arange(sz), indexing="ij")
     tw = np.stack(
         [
-            np.exp(2j * np.pi * (py * yy + pz * zz) / n).reshape(-1)
-            for py in range(r)
-            for pz in range(r)
+            np.exp(2j * np.pi * (py * yy / ny + pz * zz / nz)).reshape(-1)
+            for py in range(ry)
+            for pz in range(rz)
         ]
     )
     return k.real, k.imag, tw.real, tw.imag
+
+
+def _as_axes(m):
+    """Normalize a transform-matrix argument to an (x, y, z) triple of
+    (2, N, N) stacks: a single shared stack (cubic) or a per-axis tuple."""
+    if isinstance(m, (tuple, list)):
+        return tuple(m)
+    return (m, m, m)
 
 
 def _bf1d(vals, r, sign):
@@ -426,25 +440,27 @@ def _bf1d(vals, r, sign):
     return out
 
 
-def _block_dft_2d(blocks, r, sign):
-    """Apply the R-point block DFT along both block dimensions.
+def _block_dft_2d(blocks, ry, rz, sign):
+    """Apply the per-dimension block DFTs (Ry-point outer, Rz-point inner).
 
-    ``blocks`` is a flat list of R^2 (re, im) pairs indexed outer*R + inner;
-    the inner dimension is transformed first, then the outer.
+    ``blocks`` is a flat list of Ry*Rz (re, im) pairs indexed outer*Rz +
+    inner; the inner dimension is transformed first, then the outer.
     """
     mid = []
-    for py in range(r):
-        mid.extend(_bf1d(blocks[py * r:(py + 1) * r], r, sign))
-    out = [None] * (r * r)
-    for z in range(r):
-        col = _bf1d([mid[py * r + z] for py in range(r)], r, sign)
-        for a in range(r):
-            out[a * r + z] = col[a]
+    for py in range(ry):
+        mid.extend(_bf1d(blocks[py * rz:(py + 1) * rz], rz, sign))
+    out = [None] * (ry * rz)
+    for z in range(rz):
+        col = _bf1d([mid[py * rz + z] for py in range(ry)], ry, sign)
+        for a in range(ry):
+            out[a * rz + z] = col[a]
     return out
 
 
-def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
-    """The ct-scheme megakernel.
+def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
+                     precision, io):
+    """The ct-scheme megakernel (per-axis sizes/radices; cubic grids pass
+    nx = ny = nz, ry = rz).
 
     Non-io mode consumes f_hat (mode-permuted re/im planes) and accumulates
     the gain spectrum into the two outputs across sequential grid steps.
@@ -457,9 +473,9 @@ def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
     (reference assembly: FFTWBoltzmannOperator.cpp:281-330) — zero staged
     XLA transforms remain.
     """
-    s2 = (n // r) * (n // r)
-    r2 = r * r
-    n2 = n * n
+    s2 = (ny // ry) * (nz // rz)
+    r2 = ry * rz
+    n2 = ny * nz
     if io:
         (rho_ref, gw_ref, axr_ref, axi_ref, ayzr_ref, ayzi_ref,
          fpr_ref, b2_ref, vr_ref, vi_ref, fwr_ref, fwi_ref,
@@ -492,7 +508,7 @@ def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
             br, bi = cmm(tr[:, sl], ti[:, sl], kr, ki)
             pr, pi = twr_ref[bx, :], twi_ref[bx, :]
             blocks.append((br * pr - bi * pi, br * pi + bi * pr))
-        blocks = _block_dft_2d(blocks, r, 1.0)
+        blocks = _block_dft_2d(blocks, ry, rz, 1.0)
         return (
             jnp.concatenate([p[0] for p in blocks], axis=-1),
             jnp.concatenate([p[1] for p in blocks], axis=-1),
@@ -506,7 +522,7 @@ def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
             (tr[:, bx * s2:(bx + 1) * s2], ti[:, bx * s2:(bx + 1) * s2])
             for bx in range(r2)
         ]
-        blocks = _block_dft_2d(blocks, r, -1.0)
+        blocks = _block_dft_2d(blocks, ry, rz, -1.0)
         outs = []
         for bx, (br, bi) in enumerate(blocks):
             pr, pi = twr_ref[bx, :], twi_ref[bx, :]
@@ -540,7 +556,7 @@ def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
         fr, fi = fhr_ref[:], fhi_ref[:]
 
     nl = nl_ref[:]
-    zero = jnp.zeros((n, n2), dt)
+    zero = jnp.zeros((nx, n2), dt)
     base = i * c
 
     def group_body(g, carry):
@@ -562,7 +578,7 @@ def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
             y1r, y1i = yz_inverse(cat(t1r), cat(t1i))
             y2r, y2i = yz_inverse(cat(t2r), cat(t2i))
             for k in range(cc):  # x inverse per node, alpha_x folded in
-                rs = slice(k * n, (k + 1) * n)
+                rs = slice(k * nx, (k + 1) * nx)
                 idx = base + off + k
                 axr = axr_ref[idx, :]
                 axi = axi_ref[idx, :]
@@ -600,10 +616,15 @@ def _fused_ct_kernel(*refs, n, r, c, cc, gs, coef, amp, eps, precision, io):
             q_ref[:] = q_gain - b2f_s[:] * fpr_ref[:]
 
 
-def _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch):
+def _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch,
+                      grid_elems=None):
     """(c, cc, gs) for the ct kernel: c nodes per grid step (multiple of 8
     for the blocked (C, N^2) tables, multiple of gs for group hoisting),
-    cc nodes per inner matmul sub-batch (cc | gs, VMEM-bounded)."""
+    cc nodes per inner matmul sub-batch (cc | gs, VMEM-bounded).  ``n`` is
+    the x-axis size (stacked-matmul row bound); ``grid_elems`` the full grid
+    element count (defaults to n^3 for cubic callers)."""
+    if grid_elems is None:
+        grid_elems = n * n * n
     c = min(nodes_per_step, b)
     if c >= 8:
         c = (c // 8) * 8
@@ -620,7 +641,7 @@ def _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch):
     cc = 1
     budget = 44 << 20  # live per-node planes during the transform, ~12/node
     for cand in (8, 4, 2):
-        if gs % cand == 0 and cand * n <= 512 and cand * 12 * n * n * n * 4 <= budget:
+        if gs % cand == 0 and cand * n <= 512 and cand * 12 * grid_elems * 4 <= budget:
             cc = cand
             break
     return c, cc, gs
@@ -631,36 +652,44 @@ def _fused_gain_ct(
     *, length, b_gamma, nodes_per_step, radial_group, precision, radix,
     sub_batch, f=None, beta2=None,
 ):
-    """ct-scheme driver: returns the gain spectrum (N,N,N) complex, or — when
-    ``f`` and ``beta2`` are given — the fully fused collision result Q
-    (N,N,N) real with the loss term and all outer transforms in-kernel."""
-    b, n = ax.shape
-    r = _ct_pick_radix(n, radix)
-    if not r:
-        raise ValueError(f"no ct radix split for n={n}")
-    s2 = (n // r) * (n // r)
-    r2 = r * r
-    n2 = n * n
+    """ct-scheme driver: returns the gain spectrum (Nx,Ny,Nz) complex, or —
+    when ``f`` and ``beta2`` are given — the fully fused collision result Q
+    (Nx,Ny,Nz) real with the loss term and all outer transforms in-kernel.
+    ``dft_inv``/``dft_fwd`` may be shared (2,N,N) stacks or per-axis
+    (x, y, z) triples (anisotropic grids, per-axis radix splits)."""
+    (vx_i, vy_i, vz_i) = _as_axes(dft_inv)
+    (vx_f, vy_f, vz_f) = _as_axes(dft_fwd)
+    b, nx = ax.shape
+    ny, nz = ay.shape[1], az.shape[1]
+    ry = _ct_pick_radix(ny, radix)
+    rz = _ct_pick_radix(nz, radix) if nz != ny else ry
+    if not (ry and rz):
+        raise ValueError(f"no ct radix split for (ny, nz)=({ny}, {nz})")
+    sy, sz = ny // ry, nz // rz
+    s2 = sy * sz
+    r2 = ry * rz
+    n2 = ny * nz
     io = f is not None
 
-    # VMEM ceiling: the kernel keeps ~14 (N, N^2) f32 planes live at peak
+    # VMEM ceiling: the kernel keeps ~14 (Nx, Ny*Nz) f32 planes live at peak
     # (f_hat + gain accumulators + io scratches + transform temps).  Past
     # ~100 MB Mosaic's scoped vmem OOMs (measured: 128^3 wants 226 MB) —
     # fail at trace time with the actionable alternative instead.
-    if not _interpret() and 14 * n * n2 * 4 > (100 << 20):
+    if not _interpret() and 14 * nx * n2 * 4 > (100 << 20):
         raise ValueError(
-            f"nv={n} exceeds the fused megakernel's VMEM working set "
-            f"(~{14 * n * n2 * 4 >> 20} MB needed); use impl='rfft' (chunked "
-            "staged pipeline) for grids beyond ~96^3"
+            f"grid ({nx},{ny},{nz}) exceeds the fused megakernel's VMEM "
+            f"working set (~{14 * nx * n2 * 4 >> 20} MB needed); use "
+            "impl='rfft' (chunked staged pipeline) for grids beyond ~96^3"
         )
 
-    c, cc, gs = _ct_node_blocking(b, n, nodes_per_step, radial_group, sub_batch)
+    c, cc, gs = _ct_node_blocking(b, nx, nodes_per_step, radial_group,
+                                  sub_batch, grid_elems=nx * n2)
     if b % c:
         pad = c - b % c
-        one = jnp.ones((pad, n), ax.dtype)
-        ax = jnp.concatenate([ax, one])
-        ay = jnp.concatenate([ay, one])
-        az = jnp.concatenate([az, one])
+        one = lambda w: jnp.ones((pad, w), ax.dtype)
+        ax = jnp.concatenate([ax, one(nx)])
+        ay = jnp.concatenate([ay, one(ny)])
+        az = jnp.concatenate([az, one(nz)])
         rho = jnp.concatenate([rho, jnp.ones((pad,), rho.dtype)])
         gain_w = jnp.concatenate([gain_w, jnp.zeros((pad,), gain_w.dtype)])
         b += pad
@@ -669,8 +698,8 @@ def _fused_gain_ct(
     if io:
         dt = jnp.float32 if f.dtype == jnp.float32 else jnp.float64
 
-    mp = _ct_mode_perm(n, r)
-    kr_np, ki_np, twr_np, twi_np = _ct_tables(n, r)
+    mp = _ct_mode_perm(ny, ry, nz, rz)
+    kr_np, ki_np, twr_np, twi_np = _ct_tables(ny, ry, nz, rz)
 
     # combined y/z phases, built block-major in the permuted mode basis
     ayz = (ay[:, :, None] * az[:, None, :]).reshape(b, n2)[:, mp]
@@ -679,7 +708,7 @@ def _fused_gain_ct(
     prec = _PRECISION_MAP[precision]
     kernel = partial(
         _fused_ct_kernel,
-        n=n, r=r, c=c, cc=cc, gs=gs, io=io,
+        nx=nx, ny=ny, nz=nz, ry=ry, rz=rz, c=c, cc=cc, gs=gs, io=io,
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
         eps=eps, precision=prec,
@@ -693,14 +722,14 @@ def _fused_gain_ct(
 
     common_in = [
         smem(), smem(),
-        full((b, n)), full((b, n)),
+        full((b, nx)), full((b, nx)),
         nodeb(n2), nodeb(n2),
     ]
     tail_in = [
-        full((n, n)), full((n, n)), full((n, n)), full((n, n)),
+        full((nx, nx)), full((nx, nx)), full((nx, nx)), full((nx, nx)),
         full((s2, s2)), full((s2, s2)),
         full((r2, s2)), full((r2, s2)),
-        full((n, n2)),
+        full((nx, n2)),
     ]
     common_args = (
         rho.astype(dt), gain_w.astype(dt),
@@ -708,48 +737,48 @@ def _fused_gain_ct(
         jnp.real(ayz).astype(dt), jnp.imag(ayz).astype(dt),
     )
     tail_args = (
-        dft_inv[0].astype(dt), dft_inv[1].astype(dt),
-        dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
+        vx_i[0].astype(dt), vx_i[1].astype(dt),
+        vx_f[0].astype(dt), vx_f[1].astype(dt),
         jnp.asarray(kr_np, dt), jnp.asarray(ki_np, dt),
         jnp.asarray(twr_np, dt), jnp.asarray(twi_np, dt),
-        jnp.take(norm_l.reshape(n, n2).astype(dt), mp, axis=1),
+        jnp.take(norm_l.reshape(nx, n2).astype(dt), mp, axis=1),
     )
 
     if io:
-        pp = _ct_pos_perm(n, r)
+        pp = _ct_pos_perm(ny, ry, nz, rz)
         q = pl.pallas_call(
             kernel,
             grid=(b // c,),
-            in_specs=common_in + [full((n, n2)), full((n, n2))] + tail_in,
-            out_specs=full((n, n2)),
-            out_shape=jax.ShapeDtypeStruct((n, n2), dt),
-            scratch_shapes=[pltpu.VMEM((n, n2), dt)] * 5,
+            in_specs=common_in + [full((nx, n2)), full((nx, n2))] + tail_in,
+            out_specs=full((nx, n2)),
+            out_shape=jax.ShapeDtypeStruct((nx, n2), dt),
+            scratch_shapes=[pltpu.VMEM((nx, n2), dt)] * 5,
             compiler_params=params,
             interpret=_interpret(),
         )(
             *common_args,
-            jnp.take(f.reshape(n, n2).astype(dt), pp, axis=1),
-            jnp.take(beta2.reshape(n, n2).astype(dt), mp, axis=1),
+            jnp.take(f.reshape(nx, n2).astype(dt), pp, axis=1),
+            jnp.take(beta2.reshape(nx, n2).astype(dt), mp, axis=1),
             *tail_args,
         )
-        return jnp.take(q, _inv_perm(pp), axis=1).reshape(n, n, n)
+        return jnp.take(q, _inv_perm(pp), axis=1).reshape(nx, ny, nz)
 
     out_r, out_i = pl.pallas_call(
         kernel,
         grid=(b // c,),
-        in_specs=common_in + [full((n, n2)), full((n, n2))] + tail_in,
-        out_specs=[full((n, n2))] * 2,
-        out_shape=[jax.ShapeDtypeStruct((n, n2), dt)] * 2,
+        in_specs=common_in + [full((nx, n2)), full((nx, n2))] + tail_in,
+        out_specs=[full((nx, n2))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nx, n2), dt)] * 2,
         compiler_params=params,
         interpret=_interpret(),
     )(
         *common_args,
-        jnp.take(jnp.real(f_hat).reshape(n, n2).astype(dt), mp, axis=1),
-        jnp.take(jnp.imag(f_hat).reshape(n, n2).astype(dt), mp, axis=1),
+        jnp.take(jnp.real(f_hat).reshape(nx, n2).astype(dt), mp, axis=1),
+        jnp.take(jnp.imag(f_hat).reshape(nx, n2).astype(dt), mp, axis=1),
         *tail_args,
     )
     out = out_r + 1j * out_i
-    return jnp.take(out, _inv_perm(mp), axis=1).reshape(n, n, n)
+    return jnp.take(out, _inv_perm(mp), axis=1).reshape(nx, ny, nz)
 
 
 def fused_collide(
@@ -829,39 +858,50 @@ def _fused_gain_kernel(
 
 def fused_gain(
     rho, gain_w,  # (B,)
-    ax, ay, az,  # (B, N) complex separable phase factors
-    f_hat,  # (N, N, N) complex full spectrum
-    dft_inv, dft_fwd,  # (2, N, N) stacked re/im transform matrices
-    norm_l,  # (N, N, N) mode norms
+    ax, ay, az,  # (B, N_axis) complex separable phase factors
+    f_hat,  # (Nx, Ny, Nz) complex full spectrum
+    dft_inv, dft_fwd,  # (2, N, N) stacked re/im matrices, or (x, y, z) triples
+    norm_l,  # (Nx, Ny, Nz) mode norms
     *, length, b_gamma, nodes_per_step: int = 8, scheme: str = "auto",
     radial_group: int = 1, precision: str = "default",
     radix: int = 0, sub_batch: int = 0,
 ):
     """Q_gain_hat = sum_b w_b beta1_b FFT(IFFT(a1 f^) IFFT(a2 f^)) fully fused.
 
-    Returns the (N, N, N) complex gain spectrum.  ``nodes_per_step`` nodes are
-    processed per grid step; everything except the initial f_hat read and the
-    output accumulation stays in VMEM.  ``scheme``:
+    Returns the (Nx, Ny, Nz) complex gain spectrum.  ``nodes_per_step`` nodes
+    are processed per grid step; everything except the initial f_hat read and
+    the output accumulation stays in VMEM.  ``scheme``:
 
     * ``"kron"`` — transpose-free, MXU-saturating (the y/z transform is one
-      (N^2)-deep Kron matmul); needs an (N^2, N^2) table in VMEM, so N <= 32.
-    * ``"ct"`` — Cooley-Tukey block factorization N = R*S of the y/z pair:
-      R^2 matmuls against the small kron(U_S, U_S) table + lane butterflies.
-      Any N with a valid split (S in {16, 32} on hardware); ``radix`` forces
-      R, ``sub_batch`` forces the inner node sub-batch size.
+      (Ny*Nz)-deep Kron matmul); needs an (Ny*Nz, Ny*Nz) table in VMEM, so
+      Ny*Nz <= 1024 (N <= 32 cubic).
+    * ``"ct"`` — Cooley-Tukey block factorization N = R*S per lane axis:
+      Ry*Rz matmuls against the small kron(U_Sy, U_Sz) table + lane
+      butterflies.  Any (Ny, Nz) with valid splits (S in {16, 32} on
+      hardware); ``radix`` forces R, ``sub_batch`` the inner node sub-batch.
     * ``"transpose"`` — tall (N^2, N)-matmul per axis with vector transposes;
-      works at any N.
-    * ``"auto"`` — kron for N <= 32, else ct when a radix exists, else
-      transpose.
+      any N, cubic grids only.
+    * ``"auto"`` — kron when the table fits, else ct when radices exist,
+      else transpose.
     """
     b, n = ax.shape
+    ny, nz = ay.shape[1], az.shape[1]
+    cubic = n == ny == nz
     if scheme == "auto":
-        # dense Kron table (N^2, N^2) fits VMEM only up to N=32; beyond that
-        # the Cooley-Tukey block factorization when a valid radix exists
-        if n <= 32:
+        # dense Kron table (NyNz, NyNz) fits VMEM only up to NyNz = 1024;
+        # beyond that the Cooley-Tukey block factorization when valid per-axis
+        # radix splits exist
+        if ny * nz <= 1024:
             scheme = "kron"
+        elif _ct_pick_radix(ny) and _ct_pick_radix(nz):
+            scheme = "ct"
         else:
-            scheme = "ct" if _ct_pick_radix(n) else "transpose"
+            scheme = "transpose"
+    if scheme == "transpose" and not cubic:
+        raise ValueError(
+            "fused scheme 'transpose' supports cubic grids only; use "
+            "'kron'/'ct' for anisotropic resolutions"
+        )
 
     if scheme == "ct":
         return _fused_gain_ct(
@@ -872,10 +912,10 @@ def fused_gain(
         )
 
     if scheme == "kron":
-        # VMEM cap: the kernel keeps ~16 (C, N^3) f32 planes live at peak
-        # (g1/g2/h + transform temps), plus the 2*(N^2)^2 Kron table.
-        vmem_budget = (56 << 20) - 2 * (n * n) * (n * n) * 4
-        c_cap = max(1, vmem_budget // (16 * n * n * n * 4))
+        # VMEM cap: the kernel keeps ~16 (C, Nx*Ny*Nz) f32 planes live at
+        # peak (g1/g2/h + transform temps), plus the 2*(NyNz)^2 Kron table.
+        vmem_budget = (56 << 20) - 2 * (ny * nz) * (ny * nz) * 4
+        c_cap = max(1, vmem_budget // (16 * n * ny * nz * 4))
         c = min(nodes_per_step, c_cap, b)
         if c >= 8:
             c = (c // 8) * 8  # (C, N^2) block sublanes must be a multiple of 8
@@ -890,15 +930,17 @@ def fused_gain(
         c = min(nodes_per_step, b)
     if b % c:
         pad = c - b % c
-        one = jnp.ones((pad, n), ax.dtype)
-        ax = jnp.concatenate([ax, one])
-        ay = jnp.concatenate([ay, one])
-        az = jnp.concatenate([az, one])
+        one = lambda w: jnp.ones((pad, w), ax.dtype)
+        ax = jnp.concatenate([ax, one(n)])
+        ay = jnp.concatenate([ay, one(ny)])
+        az = jnp.concatenate([az, one(nz)])
         rho = jnp.concatenate([rho, jnp.ones((pad,), rho.dtype)])
         gain_w = jnp.concatenate([gain_w, jnp.zeros((pad,), gain_w.dtype)])
         b += pad
 
     dt = jnp.float32 if f_hat.dtype == jnp.complex64 else jnp.float64
+    (vx_i, vy_i, vz_i) = _as_axes(dft_inv)
+    (vx_f, _, _) = _as_axes(dft_fwd)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     nodeb = lambda w: pl.BlockSpec((c, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -910,7 +952,7 @@ def fused_gain(
     eps = float(np.finfo(dt).eps)
     prec = _PRECISION_MAP[precision]
     common = dict(
-        n=n, c=c, precision=prec,
+        c=c, precision=prec,
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
         eps=eps,
@@ -919,42 +961,46 @@ def fused_gain(
 
     if scheme == "kron":
         # combined (j, k) lane phases and the shared Kron transform table
+        # kron(Vy_inv, Vz_inv) (per-axis matrices on anisotropic grids)
+        nyz = ny * nz
         ayz = ay[:, :, None] * az[:, None, :]
-        vr, vi = dft_inv[0].astype(dt), dft_inv[1].astype(dt)
-        kr = jnp.kron(vr, vr) - jnp.kron(vi, vi)
-        ki = jnp.kron(vr, vi) + jnp.kron(vi, vr)
+        vr, vi = vx_i[0].astype(dt), vx_i[1].astype(dt)
+        vyr, vyi = vy_i[0].astype(dt), vy_i[1].astype(dt)
+        vzr, vzi = vz_i[0].astype(dt), vz_i[1].astype(dt)
+        kr = jnp.kron(vyr, vzr) - jnp.kron(vyi, vzi)
+        ki = jnp.kron(vyr, vzi) + jnp.kron(vyi, vzr)
         out_r, out_i = pl.pallas_call(
-            partial(_fused_gain_kron_kernel, gs=gs, **common),
+            partial(_fused_gain_kron_kernel, gs=gs, nx=n, nyz=nyz, **common),
             grid=(b // c,),
             in_specs=[
                 smem(), smem(),
-                nodeb(n), nodeb(n), nodeb(n * n), nodeb(n * n),
-                full((n, n * n)), full((n, n * n)),
+                nodeb(n), nodeb(n), nodeb(nyz), nodeb(nyz),
+                full((n, nyz)), full((n, nyz)),
                 full((n, n)), full((n, n)), full((n, n)), full((n, n)),
-                full((n * n, n * n)), full((n * n, n * n)),
-                full((n, n * n)),
+                full((nyz, nyz)), full((nyz, nyz)),
+                full((n, nyz)),
             ],
-            out_specs=[full((n, n * n)), full((n, n * n))],
-            out_shape=[jax.ShapeDtypeStruct((n, n * n), dt)] * 2,
-            scratch_shapes=[pltpu.VMEM((c, n, n * n), dt)] * 4,
+            out_specs=[full((n, nyz)), full((n, nyz))],
+            out_shape=[jax.ShapeDtypeStruct((n, nyz), dt)] * 2,
+            scratch_shapes=[pltpu.VMEM((c, n, nyz), dt)] * 4,
             compiler_params=params,
             interpret=_interpret(),
         )(
             rho.astype(dt), gain_w.astype(dt),
             jnp.real(ax).astype(dt), jnp.imag(ax).astype(dt),
-            jnp.real(ayz).reshape(b, n * n).astype(dt),
-            jnp.imag(ayz).reshape(b, n * n).astype(dt),
-            jnp.real(f_hat).reshape(n, n * n).astype(dt),
-            jnp.imag(f_hat).reshape(n, n * n).astype(dt),
+            jnp.real(ayz).reshape(b, nyz).astype(dt),
+            jnp.imag(ayz).reshape(b, nyz).astype(dt),
+            jnp.real(f_hat).reshape(n, nyz).astype(dt),
+            jnp.imag(f_hat).reshape(n, nyz).astype(dt),
             vr, vi,
-            dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
+            vx_f[0].astype(dt), vx_f[1].astype(dt),
             kr, ki,
-            norm_l.reshape(n, n * n).astype(dt),
+            norm_l.reshape(n, nyz).astype(dt),
         )
-        return (out_r + 1j * out_i).reshape(n, n, n)
+        return (out_r + 1j * out_i).reshape(n, ny, nz)
 
     out_r, out_i = pl.pallas_call(
-        partial(_fused_gain_kernel, gs=gs, **common),
+        partial(_fused_gain_kernel, gs=gs, n=n, **common),
         grid=(b // c,),
         in_specs=[
             smem(), smem(),
@@ -974,8 +1020,8 @@ def fused_gain(
         jnp.real(ay).astype(dt), jnp.imag(ay).astype(dt),
         jnp.real(az).astype(dt), jnp.imag(az).astype(dt),
         jnp.real(f_hat).astype(dt), jnp.imag(f_hat).astype(dt),
-        dft_inv[0].astype(dt), dft_inv[1].astype(dt),
-        dft_fwd[0].astype(dt), dft_fwd[1].astype(dt),
+        vx_i[0].astype(dt), vx_i[1].astype(dt),
+        vx_f[0].astype(dt), vx_f[1].astype(dt),
         norm_l.astype(dt),
     )
     return out_r + 1j * out_i

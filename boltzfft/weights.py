@@ -70,7 +70,8 @@ class CollisionConfig:
     ns: int = 12  # spherical design size (see quadrature.SPHERICAL_DESIGN_FILES)
     # Anisotropic per-axis resolutions (reference operator signature
     # FFTWBoltzmannOperator.hpp:32 takes Nvx/Nvy/Nvz); None = nv.  Supported
-    # by the rfft/c2c pipelines; dft/fused require a cubic grid.
+    # by every impl (fused uses per-axis transform matrices; only the
+    # fused "transpose" scheme remains cubic-only).
     nvy: Optional[int] = None
     nvz: Optional[int] = None
     n_radial: Optional[int] = None  # Gauss-Legendre points; default nv
@@ -134,10 +135,14 @@ class CollisionConfig:
         for name, n in (("nv", self.nv), ("nvy", self.nvy), ("nvz", self.nvz)):
             if n is not None and n % 2 != 0:
                 raise ValueError(f"{name} must be even (FFT mode ordering)")
-        if not self.is_isotropic and self.impl in ("dft", "fused"):
+        if (
+            not self.is_isotropic
+            and self.impl == "fused"
+            and self.fused_scheme == "transpose"
+        ):
             raise ValueError(
-                f"impl={self.impl!r} requires a cubic grid; use 'rfft' or "
-                "'c2c' for anisotropic resolutions"
+                "fused_scheme='transpose' requires a cubic grid; use "
+                "'auto'/'kron'/'ct' for anisotropic resolutions"
             )
         if self.ns not in _quad.SPHERICAL_DESIGN_FILES:
             raise ValueError(
@@ -252,11 +257,34 @@ class Precomp(NamedTuple):
     lz: jnp.ndarray  # (N,) for c2c/dft | (N/2+1,) for rfft (Nyquist -> -N/2)
     norm_l: jnp.ndarray  # |l| on the (possibly half) mode grid
     beta2: jnp.ndarray  # loss multiplier on the (possibly half) mode grid
-    # DFT matrices for impl="dft", stored as stacked real planes [re, im] of
-    # shape (2, N, N): complex leaves would be transferred host->device, and
-    # complex transfers are not supported on all TPU runtimes.
-    dft_fwd: Optional[jnp.ndarray] = None  # (2, N, N) forward DFT matrix
-    dft_inv: Optional[jnp.ndarray] = None  # (2, N, N) normalized inverse DFT
+    # DFT matrices for impl="dft"/"fused", stored as stacked real planes
+    # [re, im] of shape (2, N, N): complex leaves would be transferred
+    # host->device, and complex transfers are not supported on all TPU
+    # runtimes.  ``dft_fwd``/``dft_inv`` are the x-axis matrices; the y/z
+    # fields are None on cubic grids (all axes share the x matrix) and carry
+    # per-axis matrices on anisotropic grids (reference ctor parity:
+    # ``FFTWBoltzmannOperator.hpp:32``).
+    dft_fwd: Optional[jnp.ndarray] = None  # (2, Nx, Nx) forward DFT matrix
+    dft_inv: Optional[jnp.ndarray] = None  # (2, Nx, Nx) normalized inverse DFT
+    dft_fwd_y: Optional[jnp.ndarray] = None  # (2, Ny, Ny) when anisotropic
+    dft_inv_y: Optional[jnp.ndarray] = None
+    dft_fwd_z: Optional[jnp.ndarray] = None  # (2, Nz, Nz) when anisotropic
+    dft_inv_z: Optional[jnp.ndarray] = None
+
+    def dft_fwd_axes(self) -> tuple:
+        """(x, y, z) forward-matrix stacks (shared x matrix when cubic)."""
+        return (
+            self.dft_fwd,
+            self.dft_fwd_y if self.dft_fwd_y is not None else self.dft_fwd,
+            self.dft_fwd_z if self.dft_fwd_z is not None else self.dft_fwd,
+        )
+
+    def dft_inv_axes(self) -> tuple:
+        return (
+            self.dft_inv,
+            self.dft_inv_y if self.dft_inv_y is not None else self.dft_inv,
+            self.dft_inv_z if self.dft_inv_z is not None else self.dft_inv,
+        )
 
 
 def sincc(x: np.ndarray | jnp.ndarray, eps: float):
@@ -307,15 +335,24 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
     lz = _modes.rfft_modes(nz) if cfg.impl == "rfft" else _modes.fft_modes(nz)
     norm_l = _modes.mode_norm_grid(lx, ly, lz)
 
-    # Matmul-form DFT matrices (impl="dft"): F[m, x] = exp(-2 pi i m x / N),
+    # Matmul-form DFT matrices (impl="dft"/"fused"): F[m, x] = exp(-2 pi i m x / N),
     # Vinv[x, m] = exp(+2 pi i m x / N) / N — the inverse carries jnp's 1/N
     # normalization per axis so the overall scaling matches fftn/ifftn.
+    # Anisotropic grids get one matrix pair per axis.
     dft_fwd = dft_inv = None
+    dft_fwd_y = dft_inv_y = dft_fwd_z = dft_inv_z = None
     if cfg.impl in ("dft", "fused"):
-        mx = np.arange(n)
-        ph = 2.0 * np.pi * np.outer(mx, mx) / n
-        dft_fwd = np.stack([np.cos(ph), -np.sin(ph)])  # exp(-i ph)
-        dft_inv = np.stack([np.cos(ph) / n, np.sin(ph) / n])  # exp(+i ph)/N
+        def dft_pair(n_axis):
+            m = np.arange(n_axis)
+            ph = 2.0 * np.pi * np.outer(m, m) / n_axis
+            fwd = np.stack([np.cos(ph), -np.sin(ph)])  # exp(-i ph)
+            inv = np.stack([np.cos(ph) / n_axis, np.sin(ph) / n_axis])
+            return fwd, inv
+
+        dft_fwd, dft_inv = dft_pair(nx)
+        if not cfg.is_isotropic:
+            dft_fwd_y, dft_inv_y = dft_pair(ny)
+            dft_fwd_z, dft_inv_z = dft_pair(nz)
 
     # Loss-term multiplier beta2(l) = sum_r 16 pi^2 b_gamma w_r rho_r^(gamma+2)
     #   * sincc(pi rho_r |l| / L)   (FFTWBoltzmannOperator.cpp:287-293).
@@ -338,6 +375,10 @@ def build_precomp(cfg: CollisionConfig) -> Precomp:
         beta2=jnp.asarray(beta2, rd),
         dft_fwd=None if dft_fwd is None else jnp.asarray(dft_fwd, rd),
         dft_inv=None if dft_inv is None else jnp.asarray(dft_inv, rd),
+        dft_fwd_y=None if dft_fwd_y is None else jnp.asarray(dft_fwd_y, rd),
+        dft_inv_y=None if dft_inv_y is None else jnp.asarray(dft_inv_y, rd),
+        dft_fwd_z=None if dft_fwd_z is None else jnp.asarray(dft_fwd_z, rd),
+        dft_inv_z=None if dft_inv_z is None else jnp.asarray(dft_inv_z, rd),
     )
 
 

@@ -15,13 +15,18 @@ from tests.reference_direct import direct_collision
 
 
 class TestConfig:
-    def test_fused_rejects_anisotropic(self):
+    def test_fused_transpose_rejects_anisotropic(self):
+        # round-3: dft/fused support per-axis grids; only the fused
+        # "transpose" scheme remains cubic-bound.
         with pytest.raises(ValueError, match="cubic"):
-            bz.CollisionConfig(nv=8, nvy=10, ns=6, impl="fused")
+            bz.CollisionConfig(nv=8, nvy=10, ns=6, impl="fused",
+                               fused_scheme="transpose")
 
-    def test_dft_rejects_anisotropic(self):
-        with pytest.raises(ValueError, match="cubic"):
-            bz.CollisionConfig(nv=8, nvz=10, ns=6, impl="dft")
+    def test_dft_accepts_anisotropic(self):
+        cfg = bz.CollisionConfig(nv=8, nvz=10, ns=6, impl="dft")
+        pre = bz.build_precomp(cfg)
+        assert pre.dft_fwd_z is not None
+        assert pre.dft_fwd_z.shape == (2, 10, 10)
 
     def test_odd_axis_rejected(self):
         with pytest.raises(ValueError, match="nvy"):
@@ -134,3 +139,38 @@ class TestParity:
             errs[shape] = np.abs(q - q_exact).max()
         assert errs[(32, None, None)] < 0.1 * errs[(32, 16, 16)]
         assert errs[(32, 16, 16)] <= 2.0 * errs[(16, None, None)]
+
+
+class TestAnisotropicFusedDft:
+    """Per-axis transform matrices in the dft einsum path and the fused
+    megakernel (kron table = kron(Vy, Vz); ct = per-axis radix splits).
+    Round-3 completion of the reference ctor generality
+    (``FFTWBoltzmannOperator.hpp:32``)."""
+
+    def _parity(self, nv, nvy, nvz, impl, tol=1e-12, **kw):
+        cfg = bz.CollisionConfig(nv=nv, nvy=nvy, nvz=nvz, ns=6, impl=impl, **kw)
+        cfg_c = bz.CollisionConfig(nv=nv, nvy=nvy, nvz=nvz, ns=6, impl="c2c")
+        coll, pre = bz.make_collision_operator(cfg)
+        coll_c, pre_c = bz.make_collision_operator(cfg_c)
+        g = cfg.velocity_grid
+        f = bz.bkw_f(g.r_squared(), 6.5)
+        q = np.asarray(coll(f, pre))
+        qc = np.asarray(coll_c(f, pre_c))
+        np.testing.assert_allclose(q, qc, atol=tol * np.abs(qc).max())
+
+    def test_dft_matches_c2c(self):
+        self._parity(8, 12, 16, "dft")
+
+    def test_fused_kron_matches_c2c(self):
+        self._parity(8, 12, 16, "fused", fused_scheme="kron")
+
+    def test_fused_kron_all_axes_distinct(self):
+        self._parity(16, 8, 12, "fused", fused_scheme="kron")
+
+    def test_fused_ct_io_matches_c2c(self):
+        # forced ct exercises the per-axis radix split + io megakernel
+        self._parity(8, 12, 16, "fused", fused_scheme="ct")
+
+    def test_fused_auto_verdict_case(self):
+        # the round-2 verdict's named target configuration
+        self._parity(32, 16, 48, "fused")

@@ -70,7 +70,7 @@ class TestMaxwellBKW:
     def test_ds_impl_relaxation(self, capsys):
         from boltzfft.cli.maxwell_bkw import main
 
-        assert main(["--Nv", "8", "--Ns", "6", "--n-radial", "4",
+        assert main(["--Nv", "6", "--Ns", "6", "--n-radial", "2",
                      "--impl", "ds", "--steps", "2", "--dt", "0.25"]) == 0
         out = capsys.readouterr().out
         assert "Relaxation (ds): 2 RK4 steps" in out

@@ -9,7 +9,7 @@ from boltzfft import ds
 
 class TestDsRelaxation:
     def test_rk4_matches_f64_relaxation(self):
-        cfg64 = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+        cfg64 = bz.CollisionConfig(nv=6, ns=6, n_radial=3, impl="c2c",
                                    dtype="float64")
         c64, p64 = bz.make_collision_operator(cfg64)
         g = cfg64.velocity_grid
@@ -17,7 +17,7 @@ class TestDsRelaxation:
         tf64 = np.asarray(bz.make_relaxation(
             c64, p64, dt=0.25, n_steps=4, method="rk4")(f0).f)
 
-        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=3, impl="c2c",
                                  dtype="float32")
         cds, pds = bz.make_ds_collision_operator(cfg, jit=False)
         run = bz.make_relaxation(cds, pds, dt=0.25, n_steps=4, method="rk4")
@@ -28,7 +28,7 @@ class TestDsRelaxation:
         assert rel < 1e-12
 
     def test_recording_through_ds_state(self):
-        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=2, impl="c2c",
                                  dtype="float32")
         cds, pds = bz.make_ds_collision_operator(cfg, jit=False)
         g = cfg.velocity_grid

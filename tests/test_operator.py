@@ -123,9 +123,9 @@ class TestFusedCT:
     @pytest.mark.parametrize("radix", [2, 4])
     def test_io_collide_matches_c2c(self, radix):
         cfg = bz.CollisionConfig(
-            nv=16, ns=6, impl="fused", fused_scheme="ct", fused_radix=radix
+            nv=8, ns=6, impl="fused", fused_scheme="ct", fused_radix=radix
         )
-        cfg_c = bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+        cfg_c = bz.CollisionConfig(nv=8, ns=6, impl="c2c")
         coll, pre = bz.make_collision_operator(cfg)
         coll_c, pre_c = bz.make_collision_operator(cfg_c)
         _, f, _ = _bkw_setup(cfg)
@@ -188,7 +188,7 @@ class TestFusedCT:
 
         from boltzfft.operator import collide
 
-        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="fused")
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="fused")
         pre = bz.build_precomp(cfg)
         _, f, _ = _bkw_setup(cfg)
         fs = jnp.stack([jnp.asarray(f), 0.8 * jnp.asarray(f)])

@@ -115,7 +115,10 @@ class TestContraction:
 
 
 class TestPipeline:
+    @pytest.mark.slow
     def test_collide_oz_matches_vpu(self):
+        # slow tier: the staged-oz engine is covered per-contraction in
+        # TestContraction and end-to-end by TestAnisotropicDs
         cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c", dtype="float32")
         pre = build_ds_precomp(cfg)
         f = ds.from_f64(np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5), np.float64))
@@ -124,8 +127,10 @@ class TestPipeline:
         scale = np.max(np.abs(q_vpu))
         assert np.max(np.abs(q_vpu - q_oz)) / scale < 1e-12
 
+    @pytest.mark.slow
     def test_collide_ozk_matches_vpu(self):
-        # the forced-Pallas-kernel engine (interpreter off-TPU)
+        # the forced-Pallas-kernel engine (interpreter off-TPU); slow tier —
+        # the same engine runs in TestAnisotropicDs's default-tier test
         cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="c2c", dtype="float32")
         pre = build_ds_precomp(cfg)
         f = ds.from_f64(np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5), np.float64))
@@ -149,18 +154,18 @@ class TestAnisotropicDs:
     def test_matches_c2c_f64(self):
         # per-axis DFT matrices + mode tables (reference ctor parity,
         # FFTWBoltzmannOperator.hpp:32) through both ds engines
-        cfg64 = bz.CollisionConfig(nv=8, nvy=10, nvz=6, ns=6, n_radial=4,
+        cfg64 = bz.CollisionConfig(nv=4, nvy=6, nvz=8, ns=6, n_radial=3,
                                    impl="c2c", dtype="float64")
         coll, pre64 = bz.make_collision_operator(cfg64)
         f64 = np.asarray(bz.bkw_f(cfg64.velocity_grid.r_squared(), 6.5), np.float64)
         q_ref = np.asarray(coll(f64, pre64), np.float64)
 
-        cfg = bz.CollisionConfig(nv=8, nvy=10, nvz=6, ns=6, n_radial=4,
+        cfg = bz.CollisionConfig(nv=4, nvy=6, nvz=8, ns=6, n_radial=3,
                                  impl="c2c", dtype="float32")
         pre = build_ds_precomp(cfg)
         f = ds.from_f64(f64)
         scale = np.max(np.abs(q_ref))
         for engine in ("vpu", "ozk"):
             q = ds.to_f64(collide_ds(cfg, pre, f, contract=engine))
-            assert q.shape == (8, 10, 6)
+            assert q.shape == (4, 6, 8)
             assert np.max(np.abs(q - q_ref)) / scale < 1e-12, engine

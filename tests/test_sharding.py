@@ -39,9 +39,9 @@ class TestNodeSharding:
     def test_fused_impl_shards(self):
         # the Pallas megakernel composes with shard_map (local node shards)
         cfg, f = _setup()
-        cfg = bz.CollisionConfig(nv=16, ns=6, impl="fused")
+        cfg = bz.CollisionConfig(nv=8, ns=6, impl="fused")
         coll_ref, pre_ref = bz.make_collision_operator(
-            bz.CollisionConfig(nv=16, ns=6, impl="c2c")
+            bz.CollisionConfig(nv=8, ns=6, impl="c2c")
         )
         q_ref = np.asarray(coll_ref(f, pre_ref))
         mesh = bz.make_mesh([(bz.NODE_AXIS, 4)])
@@ -54,10 +54,10 @@ class TestNodeSharding:
         # ss005.012 radial groups across shards — the megakernel's hoisted
         # beta1 would then use the wrong rho for mixed groups.  Shard sizing
         # must round up to whole spherical-design groups.
-        cfg = bz.CollisionConfig(nv=16, ns=12, impl="fused")
+        cfg = bz.CollisionConfig(nv=8, ns=12, impl="fused")
         f = bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)
         coll_ref, pre_ref = bz.make_collision_operator(
-            bz.CollisionConfig(nv=16, ns=12, impl="c2c")
+            bz.CollisionConfig(nv=8, ns=12, impl="c2c")
         )
         q_ref = np.asarray(coll_ref(f, pre_ref))
         mesh = bz.make_mesh([(bz.NODE_AXIS, 5)])
