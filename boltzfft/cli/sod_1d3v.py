@@ -1,7 +1,8 @@
 """Space-inhomogeneous 1D×3V demo: a Sod-type kinetic shock tube.
 
 Solves ``df/dt + v_x df/dx = Q(f,f)/Kn`` with Strang splitting (periodic
-upwind transport + per-cell collisions on the ensemble axis), printing
+MUSCL/minmod transport by default, first-order upwind via --scheme; per-cell
+collisions on the ensemble axis), printing
 density/temperature profiles and conservation diagnostics.  The reference
 code has no spatial transport at all (SURVEY.md section 0); this is the
 production workload its collision kernel feeds.
@@ -29,6 +30,8 @@ def main(argv=None):
                    help="time step (default: CFL-limited for the transport)")
     p.add_argument("--mesh-cells", type=int, default=None,
                    help="shard cells over this many devices (ensemble axis)")
+    p.add_argument("--scheme", choices=["muscl", "upwind"], default="muscl",
+                   help="advection scheme (muscl = 2nd-order TVD, default)")
     args = p.parse_args(argv)
 
     import jax
@@ -52,17 +55,19 @@ def main(argv=None):
         )
         step = transport.make_inhomogeneous_step(
             cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen,
-            vmap_cells=False,
+            vmap_cells=False, scheme=args.scheme,
         )
     else:
         collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
         step = transport.make_inhomogeneous_step(
-            cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen
+            cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen,
+            scheme=args.scheme,
         )
 
     f = transport.sod_initial_condition(cfg, args.nx)
     print(f"\nSod 1D×3V: nx={args.nx} dx={dx:.4f} dt={dt:.4f} "
-          f"Kn={args.knudsen} Nv={args.Nv} Ns={args.Ns} impl={cfg.impl}")
+          f"Kn={args.knudsen} Nv={args.Nv} Ns={args.Ns} impl={cfg.impl} "
+          f"scheme={args.scheme}")
 
     run = jax.jit(lambda f, pre: jax.lax.fori_loop(
         0, args.steps, lambda i, x: step(x, pre), f))

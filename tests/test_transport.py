@@ -174,3 +174,77 @@ class TestSodCLI:
         out = capsys.readouterr().out
         assert "rel drift" in out
         assert "density profile" in out
+
+
+class TestMuscl:
+    """Second-order MUSCL/minmod advection (round-3: replaces first-order
+    upwind as the production transport scheme)."""
+
+    def _advect_error(self, nx, scheme_fn, norm="l1"):
+        # advect a smooth periodic profile one full period and compare with
+        # the exact (identical) solution
+        v = jnp.asarray([1.0])
+        dx = 1.0 / nx
+        dt = 0.4 * dx  # fixed CFL so dt refines with dx
+        steps = int(round(1.0 / dt))
+        x = (np.arange(nx) + 0.5) * dx
+        f0 = jnp.asarray(
+            (1.0 + 0.5 * np.sin(2 * np.pi * x))[:, None, None, None]
+        )
+
+        def run(f):
+            return jax.lax.fori_loop(
+                0, steps, lambda i, y: scheme_fn(y, v, dx, dt), f
+            )
+
+        f1 = np.asarray(jax.jit(run)(f0))[:, 0, 0, 0]
+        # the profile returns to its initial position after steps*dt ~ 1.0;
+        # account for the (tiny) rounding of steps via an exact shift
+        t_end = steps * dt
+        exact = 1.0 + 0.5 * np.sin(2 * np.pi * (x - t_end))
+        d = np.abs(f1 - exact)
+        return d.mean() if norm == "l1" else d.max()
+
+    def test_order_of_convergence(self):
+        # measured: L1 orders 2.04 (32->64) and 2.21 (64->128) with the MC
+        # limiter; L-inf sits lower (~1.5) because the limiter clips at the
+        # two sine extrema — the standard TVD behavior
+        e1 = self._advect_error(32, transport.advect_muscl)
+        e2 = self._advect_error(64, transport.advect_muscl)
+        order = np.log2(e1 / e2)
+        assert order > 1.8, (e1, e2, order)
+
+    def test_beats_upwind(self):
+        em = self._advect_error(64, transport.advect_muscl)
+        eu = self._advect_error(64, transport.advect_upwind)
+        # measured: 1.2e-3 vs 5.5e-2 (L1, one period at nx=64)
+        assert em < eu / 10.0, (em, eu)
+
+    def test_mass_conserved(self):
+        rng = np.random.RandomState(0)
+        f = jnp.asarray(rng.rand(16, 4, 1, 1))
+        v = jnp.asarray([-1.0, -0.3, 0.4, 1.2])
+        f1 = transport.advect_muscl(f, v, 0.1, 0.03)
+        np.testing.assert_allclose(
+            np.asarray(f1.sum(axis=0)), np.asarray(f.sum(axis=0)), rtol=1e-13
+        )
+
+    def test_tvd_no_new_extrema(self):
+        # square wave stays within [0, 1]: the limiter suppresses the
+        # oscillations an unlimited second-order scheme would produce
+        f = jnp.asarray(
+            np.where((np.arange(64) > 16) & (np.arange(64) < 48), 1.0, 0.0)
+        )[:, None, None, None]
+        v = jnp.asarray([1.0])
+        for _ in range(40):
+            f = transport.advect_muscl(f, v, 1.0 / 64, 0.5 / 64)
+        f = np.asarray(f)
+        assert f.min() > -1e-12 and f.max() < 1.0 + 1e-12
+
+    def test_step_scheme_flag(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        with pytest.raises(ValueError, match="scheme"):
+            transport.make_inhomogeneous_step(
+                cfg, coll, dx=0.1, dt=0.01, scheme="weno9"
+            )
