@@ -44,7 +44,7 @@ from .distributed import (
     process_local_ensemble_slice,
 )
 from .stats import RunStats, error_norms, error_norms_device, time_fn, trace
-from .tune import autotune_fused
+from .tune import autotune, autotune_ds, autotune_fused
 from .timestepper import (
     Trajectory,
     euler_step,
@@ -70,6 +70,8 @@ __all__ = [
     "initialize_distributed",
     "make_multihost_mesh",
     "process_local_ensemble_slice",
+    "autotune",
+    "autotune_ds",
     "autotune_fused",
     "ds",
     "DsPrecomp",

@@ -93,3 +93,49 @@ class TestAutotune:
         cfg = small_fused_cfg()
         tuned = bz.autotune_fused(cfg, candidates=[(12, 0)], k=2, trials=1)
         assert tuned.fused_nodes_per_step == 12
+
+
+class TestStagedAutotune:
+    def test_node_chunk_probe_and_wisdom(self, tmp_path):
+        import boltzfft as bz
+
+        wisdom = tmp_path / "wisdom.json"
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="rfft",
+                                 dtype="float32")
+        tuned = bz.autotune(cfg, k=1, trials=1, cache_file=str(wisdom))
+        assert tuned.node_chunk is not None
+        assert tuned.chunk <= cfg.n_nodes
+        # memoized: second call returns instantly with the same winner
+        tuned2 = bz.autotune(cfg, k=1, trials=1, cache_file=str(wisdom))
+        assert tuned2.node_chunk == tuned.node_chunk
+        assert wisdom.exists()
+        # wisdom survives a cleared in-process memo
+        from boltzfft import tune
+        tune._MEMO.clear()
+        tuned3 = bz.autotune(cfg, k=1, trials=1, cache_file=str(wisdom))
+        assert tuned3.node_chunk == tuned.node_chunk
+
+    def test_fused_dispatch(self):
+        import boltzfft as bz
+
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="fused")
+        # the dispatcher must route fused configs through autotune_fused's
+        # candidate machinery (probe (nps, sub_batch), not node_chunk)
+        tuned = bz.autotune(cfg, candidates=[(6, 0)], k=1, trials=1)
+        assert tuned.fused_nodes_per_step == 6
+
+
+class TestDsAutotune:
+    def test_sub_batch_probe(self, tmp_path):
+        import boltzfft as bz
+
+        wisdom = tmp_path / "wisdom.json"
+        cfg = bz.CollisionConfig(nv=4, ns=6, n_radial=2, impl="c2c",
+                                 dtype="float32")
+        sb = bz.autotune_ds(cfg, candidates=[1, 3], k=1, trials=1,
+                            cache_file=str(wisdom))
+        assert sb in (1, 3)
+        from boltzfft import tune
+        tune._MEMO.clear()
+        assert bz.autotune_ds(cfg, candidates=[1, 3], k=1, trials=1,
+                              cache_file=str(wisdom)) == sb
