@@ -9,6 +9,7 @@ jax array — takes effect cleanly.
 """
 
 import os
+import pathlib
 
 import jax
 
@@ -17,3 +18,11 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache (the FFTW-wisdom analog, see boltzfft.cache):
+# dedupes identical XLA programs across tests within one run and makes
+# repeat suite runs substantially faster on this 1-CPU container.
+_cache_dir = pathlib.Path(__file__).parent / ".xla_cache_tests"
+_cache_dir.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -164,7 +164,9 @@ class TestAnisotropicFusedDft:
     def test_fused_kron_matches_c2c(self):
         self._parity(8, 12, 16, "fused", fused_scheme="kron")
 
+    @pytest.mark.slow
     def test_fused_kron_all_axes_distinct(self):
+        # slow tier: kron-anisotropic already covered by (8,12,16) above
         self._parity(16, 8, 12, "fused", fused_scheme="kron")
 
     def test_fused_ct_io_matches_c2c(self):

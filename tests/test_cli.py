@@ -67,7 +67,9 @@ class TestMaxwellBKW:
         assert "Statistics for boltzfft/ds" in out
         assert "Linf error:" in out
 
+    @pytest.mark.slow
     def test_ds_impl_relaxation(self, capsys):
+        # slow tier: test_ds_relaxation covers the ds time-integration path
         from boltzfft.cli.maxwell_bkw import main
 
         assert main(["--Nv", "6", "--Ns", "6", "--n-radial", "2",

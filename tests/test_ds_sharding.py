@@ -26,7 +26,10 @@ def _setup(nv=8, ns=6, n_radial=6):
 
 
 class TestRadialSharding:
-    @pytest.mark.parametrize("n_shards", [2, 4])
+    @pytest.mark.parametrize(
+        "n_shards",
+        [2, pytest.param(4, marks=pytest.mark.slow)],
+    )
     def test_matches_single_device(self, n_shards):
         # n_radial=6 over 4 shards also exercises zero-weight group padding
         cfg, f = _setup()

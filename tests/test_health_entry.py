@@ -56,8 +56,12 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
-        assert "dryrun_multichip ok" in capsys.readouterr().out
+        out = capsys.readouterr().out
+        # round-3: one ok line per operator family
+        for fam in ("[rfft]", "[fused]", "[ds]"):
+            assert f"dryrun_multichip ok {fam}" in out
 
+    @pytest.mark.slow
     @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
     def test_dryrun_multichip_odd_mesh(self, capsys):
         import __graft_entry__ as ge
@@ -79,6 +83,9 @@ class TestGraftEntry:
         # exactly the shape of the driver failure (1 device visible)
         env["JAX_PLATFORMS"] = "cpu"
         env.pop("XLA_FLAGS", None)
+        # one family suffices here — this test covers the clean-subprocess
+        # re-exec mechanics; all three families run in test_dryrun_multichip
+        env["BOLTZFFT_DRYRUN_FAMILIES"] = "rfft"
         code = (
             "import jax; assert len(jax.devices()) == 1;"
             "import __graft_entry__ as g; g.dryrun_multichip(8)"

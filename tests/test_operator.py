@@ -120,8 +120,12 @@ class TestFusedCT:
     in-kernel io path (forward of f, loss convolution, final inverses and Q
     assembly all inside the one Pallas launch)."""
 
-    @pytest.mark.parametrize("radix", [2, 4])
+    @pytest.mark.parametrize(
+        "radix", [2, pytest.param(4, marks=pytest.mark.slow)]
+    )
     def test_io_collide_matches_c2c(self, radix):
+        # radix-4 end-to-end sits in the slow tier; its butterfly algebra is
+        # unit-tested directly in test_bf1d_matches_np_fft below
         cfg = bz.CollisionConfig(
             nv=8, ns=6, impl="fused", fused_scheme="ct", fused_radix=radix
         )
@@ -220,15 +224,39 @@ class TestFusedCT:
             coll(f, pre)
 
 
+class TestBf1d:
+    @pytest.mark.parametrize("r", [2, 3, 4, 5])
+    @pytest.mark.parametrize("sign", [1.0, -1.0])
+    def test_bf1d_matches_np_fft(self, r, sign):
+        # the trace-time-unrolled R-point block DFT against numpy's FFT
+        import jax.numpy as jnp
+
+        from boltzfft import pallas_kernels as pk
+
+        rng = np.random.RandomState(r)
+        vals = rng.randn(r, 5) + 1j * rng.randn(r, 5)
+        out = pk._bf1d(
+            [(jnp.asarray(v.real), jnp.asarray(v.imag)) for v in vals],
+            r, sign,
+        )
+        # out[a] = sum_p omega^(a p) vals[p], omega = exp(sign 2 pi i / R):
+        # sign=+1 is numpy's ifft * R, sign=-1 its fft
+        ref = np.fft.ifft(vals, axis=0) * r if sign > 0 else np.fft.fft(vals, axis=0)
+        got = np.stack([np.asarray(a) + 1j * np.asarray(b) for a, b in out])
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
 class TestFusedGrouping:
     def test_partial_radial_groups(self):
         # ns=32 with 24 nodes/step -> group size gcd(32,24)=8: the kernel sums
         # partial radial groups across steps; must still match c2c exactly.
         # (fused_scheme="kron" keeps the dense-Kron kernel covered now that
         # "auto" resolves to the ct io path.)
-        cfg = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="fused",
-                                 fused_scheme="kron", fused_nodes_per_step=24)
-        cfg_c = bz.CollisionConfig(nv=8, ns=32, n_radial=4, impl="c2c")
+        # ns=12 -> 6-node radial groups; 8 nodes/step -> gs=gcd(6,8)=2:
+        # partial groups split across grid steps
+        cfg = bz.CollisionConfig(nv=8, ns=12, n_radial=4, impl="fused",
+                                 fused_scheme="kron", fused_nodes_per_step=8)
+        cfg_c = bz.CollisionConfig(nv=8, ns=12, n_radial=4, impl="c2c")
         coll, pre = bz.make_collision_operator(cfg)
         coll_c, pre_c = bz.make_collision_operator(cfg_c)
         _, f, _ = _bkw_setup(cfg)

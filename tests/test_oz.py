@@ -151,7 +151,12 @@ class TestPipeline:
 
 
 class TestAnisotropicDs:
+    @pytest.mark.slow
     def test_matches_c2c_f64(self):
+        # slow tier: full-pipeline ds-vs-f64 parity on an anisotropic grid
+        # through both engines; default tier covers the engines at the
+        # contraction/transform level (TestContraction) and the pipeline via
+        # test_ds.py
         # per-axis DFT matrices + mode tables (reference ctor parity,
         # FFTWBoltzmannOperator.hpp:32) through both ds engines
         cfg64 = bz.CollisionConfig(nv=4, nvy=6, nvz=8, ns=6, n_radial=3,

@@ -38,8 +38,8 @@ class TestNodeSharding:
 
     def test_fused_impl_shards(self):
         # the Pallas megakernel composes with shard_map (local node shards)
-        cfg, f = _setup()
         cfg = bz.CollisionConfig(nv=8, ns=6, impl="fused")
+        f = bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)
         coll_ref, pre_ref = bz.make_collision_operator(
             bz.CollisionConfig(nv=8, ns=6, impl="c2c")
         )

@@ -132,10 +132,10 @@ class TestDsAutotune:
         wisdom = tmp_path / "wisdom.json"
         cfg = bz.CollisionConfig(nv=4, ns=6, n_radial=2, impl="c2c",
                                  dtype="float32")
-        sb = bz.autotune_ds(cfg, candidates=[1, 3], k=1, trials=1,
+        sb = bz.autotune_ds(cfg, candidates=[3], k=1, trials=1,
                             cache_file=str(wisdom))
-        assert sb in (1, 3)
+        assert sb == 3
         from boltzfft import tune
         tune._MEMO.clear()
-        assert bz.autotune_ds(cfg, candidates=[1, 3], k=1, trials=1,
+        assert bz.autotune_ds(cfg, candidates=[3], k=1, trials=1,
                               cache_file=str(wisdom)) == sb
