@@ -11,7 +11,8 @@ RK time stepping, and ICI sharding of the quadrature-node and ensemble axes.
 from .bkw import bkw_dfdt, bkw_f, bkw_k, maxwellian
 from .grid import VelocityGrid, domain_from_support
 from .moments import Moments, moments
-from .operator import collide, gain_spectrum, make_collision_operator
+from .operator import (collide, fused_fits_vmem, gain_spectrum,
+                       make_collision_operator)
 from .quadrature import (
     SPHERICAL_DESIGN_FILES,
     Quadrature1D,
@@ -100,6 +101,7 @@ __all__ = [
     "bkw_k",
     "build_precomp",
     "collide",
+    "fused_fits_vmem",
     "domain_from_support",
     "error_norms",
     "error_norms_device",

@@ -363,6 +363,24 @@ def collide(
     return q_gain - loss_conv * f
 
 
+def fused_fits_vmem(cfg: CollisionConfig) -> bool:
+    """Whether the fused megakernel's VMEM working set fits this target.
+
+    The ct kernel keeps ~14 (Nx, Ny*Nz) f32 planes live at peak; past
+    ~100 MB Mosaic's scoped vmem OOMs.  (Independently, the remote-TPU
+    compile helper on the current tunnel crashes outright for >96^3 Mosaic
+    programs — measured round 3: 112^3, which fits the estimate, still
+    fails in libtpu init — so the practical ceiling is ~96^3 either way.)
+    Always True off-TPU (interpret mode has no VMEM).
+    """
+    from . import pallas_kernels as pk
+
+    if pk._interpret():
+        return True
+    nx, ny, nz = cfg.grid_shape
+    return 14 * nx * ny * nz * 4 <= (100 << 20)
+
+
 def make_collision_operator(
     cfg: CollisionConfig, jit: bool = True
 ) -> Tuple[Callable[[jnp.ndarray, Precomp], jnp.ndarray], Precomp]:
@@ -373,7 +391,23 @@ def make_collision_operator(
     reference's ``AbstractCollisionOperator`` hierarchy
     (``AbstractCollisionOperator.hpp:7-26``): backends collapse into XLA, state
     into the ``Precomp`` pytree.
+
+    ``impl="fused"`` beyond the megakernel's VMEM ceiling (~96^3, see
+    :func:`fused_fits_vmem`) degrades to the staged rfft pipeline with a
+    warning instead of failing — the factory is total over grid sizes.
     """
+    if cfg.impl == "fused" and not fused_fits_vmem(cfg):
+        import dataclasses
+        import warnings
+
+        warnings.warn(
+            f"grid {cfg.grid_shape} exceeds the fused megakernel's VMEM "
+            "working set (~96^3 ceiling); running the staged rfft pipeline "
+            "instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        cfg = dataclasses.replace(cfg, impl="rfft")
     pre = build_precomp(cfg)
     fn = partial(collide, cfg)
 

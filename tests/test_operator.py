@@ -528,3 +528,22 @@ class TestAntipodalReduction:
         np.testing.assert_allclose(
             q, q_direct, atol=1e-13 * np.abs(q_direct).max()
         )
+
+
+class TestFusedVmemFallback:
+    def test_over_ceiling_degrades_to_rfft(self, monkeypatch):
+        # simulate a real TPU target (interpret off): a >96^3 fused config
+        # must warn and build the staged rfft operator instead of raising
+        import warnings
+
+        from boltzfft import pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "_interpret", lambda: False)
+        assert not bz.fused_fits_vmem(bz.CollisionConfig(nv=128, ns=12, impl="fused"))
+        assert bz.fused_fits_vmem(bz.CollisionConfig(nv=96, ns=12, impl="fused"))
+        cfg = bz.CollisionConfig(nv=128, ns=6, n_radial=2, impl="fused",
+                                 dtype="float32")
+        with pytest.warns(RuntimeWarning, match="staged rfft"):
+            _, pre = bz.make_collision_operator(cfg, jit=False)
+        # rfft precomp: half-spectrum z modes
+        assert pre.lz.shape[0] == 128 // 2 + 1
