@@ -29,6 +29,43 @@ import numpy as np
 from .weights import CollisionConfig, Precomp
 
 
+def _advect_upwind_axis(f, v, dx, dt, axis):
+    """First-order periodic upwind along ``axis``; ``v`` pre-broadcast."""
+    vp = jnp.maximum(v, 0.0)
+    vm = jnp.minimum(v, 0.0)
+    c = dt / dx
+    # backward difference for v > 0, forward for v < 0
+    return f - c * (
+        vp * (f - jnp.roll(f, 1, axis=axis))
+        + vm * (jnp.roll(f, -1, axis=axis) - f)
+    )
+
+
+def _advect_muscl_axis(f, v, dx, dt, axis):
+    """Second-order MUSCL (MC limiter) periodic step along ``axis``;
+    ``v`` pre-broadcast.  See :func:`advect_muscl` for the scheme."""
+    nu = (dt / dx) * v
+
+    dm = f - jnp.roll(f, 1, axis=axis)  # f_i - f_{i-1}
+    dp = jnp.roll(dm, -1, axis=axis)  # f_{i+1} - f_i
+    # MC limiter: same-signed slopes take min(2|dm|, 2|dp|, |dm+dp|/2),
+    # opposite-signed (extrema) clip to zero
+    s = jnp.where(
+        dm * dp > 0.0,
+        jnp.sign(dm) * jnp.minimum(
+            jnp.minimum(2.0 * jnp.abs(dm), 2.0 * jnp.abs(dp)),
+            0.5 * jnp.abs(dm + dp),
+        ),
+        0.0,
+    )
+
+    up = f + 0.5 * (1.0 - nu) * s  # left-biased face value (for v > 0)
+    dn = jnp.roll(f - 0.5 * (1.0 + nu) * s, -1, axis=axis)  # right-biased
+    face = jnp.where(v > 0.0, up, dn)  # value at i + 1/2
+    flux = v * face
+    return f - (dt / dx) * (flux - jnp.roll(flux, 1, axis=axis))
+
+
 def advect_upwind(f: jnp.ndarray, v_x: jnp.ndarray, dx: float, dt: float):
     """One periodic first-order upwind step of ``df/dt + v_x df/dx = 0``.
 
@@ -37,13 +74,7 @@ def advect_upwind(f: jnp.ndarray, v_x: jnp.ndarray, dx: float, dt: float):
     cell totals change only by fluxes that cancel in the periodic sum.
     """
     v = v_x.reshape(1, -1, 1, 1).astype(f.dtype)
-    vp = jnp.maximum(v, 0.0)
-    vm = jnp.minimum(v, 0.0)
-    c = dt / dx
-    # backward difference for v > 0, forward for v < 0
-    return f - c * (
-        vp * (f - jnp.roll(f, 1, axis=0)) + vm * (jnp.roll(f, -1, axis=0) - f)
-    )
+    return _advect_upwind_axis(f, v, dx, dt, 0)
 
 
 def advect_muscl(f: jnp.ndarray, v_x: jnp.ndarray, dx: float, dt: float):
@@ -65,26 +96,7 @@ def advect_muscl(f: jnp.ndarray, v_x: jnp.ndarray, dx: float, dt: float):
     first-order :func:`advect_upwind` as the production scheme.
     """
     v = v_x.reshape(1, -1, 1, 1).astype(f.dtype)
-    nu = (dt / dx) * v
-
-    dm = f - jnp.roll(f, 1, axis=0)  # f_i - f_{i-1}
-    dp = jnp.roll(dm, -1, axis=0)  # f_{i+1} - f_i
-    # MC limiter: same-signed slopes take min(2|dm|, 2|dp|, |dm+dp|/2),
-    # opposite-signed (extrema) clip to zero
-    s = jnp.where(
-        dm * dp > 0.0,
-        jnp.sign(dm) * jnp.minimum(
-            jnp.minimum(2.0 * jnp.abs(dm), 2.0 * jnp.abs(dp)),
-            0.5 * jnp.abs(dm + dp),
-        ),
-        0.0,
-    )
-
-    up = f + 0.5 * (1.0 - nu) * s  # left-biased face value (for v > 0)
-    dn = jnp.roll(f - 0.5 * (1.0 + nu) * s, -1, axis=0)  # right-biased
-    face = jnp.where(v > 0.0, up, dn)  # value at i + 1/2
-    flux = v * face
-    return f - (dt / dx) * (flux - jnp.roll(flux, 1, axis=0))
+    return _advect_muscl_axis(f, v, dx, dt, 0)
 
 
 _ADVECT_SCHEMES = {"upwind": advect_upwind, "muscl": advect_muscl}
@@ -141,6 +153,72 @@ def make_inhomogeneous_step(
         k2 = q_of(f_mid, pre)
         f = f + (dt * inv_kn) * k2
         f = advect(f, v_x, dx, 0.5 * dt)
+        return f
+
+    return step
+
+
+_AXIS_SCHEMES = {"upwind": _advect_upwind_axis, "muscl": _advect_muscl_axis}
+
+
+def make_inhomogeneous_step_2d(
+    cfg: CollisionConfig,
+    collide_fn: Callable[[jnp.ndarray, Precomp], jnp.ndarray],
+    *,
+    dx: float,
+    dy: float,
+    dt: float,
+    knudsen: float = 1.0,
+    vmap_cells: bool = True,
+    scheme: str = "muscl",
+) -> Callable[[jnp.ndarray, Precomp], jnp.ndarray]:
+    """One Strang-split 2D×3V step ``f -> f(t + dt)``.
+
+    ``f`` has shape ``(Cx, Cy, Nvx, Nvy, Nvz)`` — two periodic spatial axes
+    leading, the velocity grid trailing — solving
+    ``df/dt + v_x df/dx + v_y df/dy = Q(f, f)/Kn``.  Splitting order is the
+    palindromic ``Ax(dt/2) Ay(dt/2) C(dt) Ay(dt/2) Ax(dt/2)`` (second-order
+    splitting error, like the 1D builder).
+
+    ``collide_fn`` semantics match :func:`make_inhomogeneous_step`: a
+    single-cell operator with ``vmap_cells=True`` (vmapped over the
+    flattened cell list), or an ensemble-sharded operator taking the whole
+    flattened ``(Cx*Cy, Nv, Nv, Nv)`` stack with ``vmap_cells=False`` (the
+    cell grid is the sharded ensemble axis — zero cross-cell traffic during
+    the collision substep; the advection halo is a nearest-neighbor
+    collective permute).
+    """
+    if scheme not in _AXIS_SCHEMES:
+        raise ValueError(
+            f"scheme must be one of {sorted(_AXIS_SCHEMES)}, got {scheme!r}"
+        )
+    advect = _AXIS_SCHEMES[scheme]
+    g = cfg.velocity_grid
+    rd = cfg.real_dtype
+    vx = jnp.asarray(g.vx, rd).reshape(1, 1, -1, 1, 1)
+    vy = jnp.asarray(g.vy, rd).reshape(1, 1, 1, -1, 1)
+    inv_kn = 1.0 / knudsen
+
+    if vmap_cells:
+        q_one = jax.vmap(lambda f, pre: collide_fn(f, pre), in_axes=(0, None))
+    else:
+        q_one = collide_fn
+
+    def q_of(f, pre):
+        cx, cy = f.shape[:2]
+        flat = f.reshape((cx * cy,) + f.shape[2:])
+        return q_one(flat, pre).reshape(f.shape)
+
+    def step(f, pre):
+        f = advect(f, vx, dx, 0.5 * dt, 0)
+        f = advect(f, vy, dy, 0.5 * dt, 1)
+        # RK2 midpoint for the stiff-ish collision substep
+        k1 = q_of(f, pre)
+        f_mid = f + (0.5 * dt * inv_kn) * k1
+        k2 = q_of(f_mid, pre)
+        f = f + (dt * inv_kn) * k2
+        f = advect(f, vy, dy, 0.5 * dt, 1)
+        f = advect(f, vx, dx, 0.5 * dt, 0)
         return f
 
     return step
