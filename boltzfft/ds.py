@@ -212,6 +212,24 @@ def cconj(x: CDS) -> CDS:
     return CDS(x.re, neg(x.im))
 
 
+def cmul_both(a: CDS, f: CDS) -> tuple:
+    """``(a * f, conj(a) * f)`` sharing the four component products.
+
+    The collision pipeline needs both ``alpha1 * f_hat`` and
+    ``conj(alpha1) * f_hat`` (``FFTWBoltzmannOperator.cpp:204-225``); the
+    naive pair costs 8 ds multiplies, this costs 4 (the products
+    ``ar*fr, ai*fi, ar*fi, ai*fr`` are shared — only the add/sub
+    combinations differ).
+    """
+    rr = mul(a.re, f.re)
+    ii = mul(a.im, f.im)
+    ri = mul(a.re, f.im)
+    ir = mul(a.im, f.re)
+    t1 = CDS(sub(rr, ii), add(ri, ir))
+    t2 = CDS(add(rr, ii), sub(ri, ir))
+    return t1, t2
+
+
 def cmul_ds(x: CDS, w: DS) -> CDS:
     """Complex ds times real ds."""
     return CDS(mul(x.re, w), mul(x.im, w))
@@ -234,7 +252,10 @@ def _row(m: DS, k):
     return DS(hi, lo)
 
 
-def contract_last(x: CDS, m: CDS, block: int = 1) -> CDS:
+def contract_last(
+    x: CDS, m: CDS, block: int = 1,
+    real_in: bool = False, real_out: bool = False,
+) -> CDS:
     """``out[..., l] = sum_k x[..., k] * m[k, l]`` in full ds arithmetic.
 
     The contraction runs as a ``fori_loop`` of rank-1 updates (VPU elementwise
@@ -246,15 +267,31 @@ def contract_last(x: CDS, m: CDS, block: int = 1) -> CDS:
     block≈4 on the full pipeline (measured 20 s -> >900 s at block=8), so the
     default stays 1; the update order — hence the bits — is identical for
     every block.
+
+    ``real_in`` skips the imaginary input plane (treated as exactly zero);
+    ``real_out`` skips computing the imaginary output (returned as zeros).
+    Both are exact structure exploits — the collision pipeline's shifted
+    convolution factors are real for real ``f`` (Hermitian spectra), the
+    same fact the rfft impl rides.
     """
     n = m.re.hi.shape[0]
     out_shape = x.re.hi.shape[:-1] + (m.re.hi.shape[1],)
     acc0 = czeros(out_shape, x.re.hi.dtype)
 
     def update(k, acc):
-        xk = CDS(_index_last(x.re, k), _index_last(x.im, k))  # (..., 1)
-        mk = CDS(_row(m.re, k), _row(m.im, k))  # (M,)
-        return cadd(acc, cmul(xk, mk))
+        xr = _index_last(x.re, k)  # (..., 1)
+        mr, mi = _row(m.re, k), _row(m.im, k)  # (M,)
+        if real_in:
+            re = mul(xr, mr)
+            im = None if real_out else mul(xr, mi)
+        else:
+            xi = _index_last(x.im, k)
+            re = sub(mul(xr, mr), mul(xi, mi))
+            im = None if real_out else add(mul(xr, mi), mul(xi, mr))
+        return CDS(
+            add(acc.re, re),
+            acc.im if im is None else add(acc.im, im),
+        )
 
     b = max(1, min(block, n))
 
@@ -299,16 +336,26 @@ def _per_axis(m):
     return (m, m, m) if isinstance(m, CDS) else tuple(m)
 
 
-def transform3(x: CDS, m, block: Optional[int] = None) -> CDS:
+def transform3(
+    x: CDS, m, block: Optional[int] = None,
+    real_in: bool = False, real_out: bool = False,
+) -> CDS:
     """Separable 3-D transform of the trailing (Nx, Ny, Nz) axes with the
     (N_axis, N_axis) ds matrix/matrices ``m`` (shared or per-axis tuple) —
-    the ds analog of ``operator._dft3``."""
+    the ds analog of ``operator._dft3``.
+
+    ``real_in``: the input's imaginary planes are exactly zero (skips half
+    the first contraction); ``real_out``: only the real output is needed
+    (skips half the last contraction)."""
     mx, my, mz = _per_axis(m)
     b = default_contract_block() if block is None else block
     # z (last) axis
-    x = contract_last(x, mz, block=b)
+    x = contract_last(x, mz, block=b, real_in=real_in)
     # y axis
     x = _swap_last2(contract_last(_swap_last2(x), my, block=b))
     # x axis
-    x = _roll_axis(contract_last(_roll_axis(x, -3, -1), mx, block=b), -1, -3)
+    x = _roll_axis(
+        contract_last(_roll_axis(x, -3, -1), mx, block=b, real_out=real_out),
+        -1, -3,
+    )
     return x

@@ -208,8 +208,14 @@ def collide_ds(
         tf_inv = partial(ds.transform3, m=pre.vinv)
     else:
         raise ValueError(f"unknown ds contract engine: {contract!r}")
-    f_hat = tf_fwd(ds.cds_from_real(f))
+    f_hat = tf_fwd(ds.cds_from_real(f), real_in=True)
 
+    # Structure exploits (exact for real f, Hermitian spectra — the same
+    # facts the rfft impl rides): the shifted convolution factors g1/g2 are
+    # real, so the inverse transforms keep only real outputs, the Hadamard
+    # and hoisted group sum run on real planes, and the forward transform
+    # of the group sum sees a real input.  alpha1*f_hat and conj(alpha1)*
+    # f_hat share their four component products (ds.cmul_both).
     def group(acc, xs):
         ax, ay, az, gw, b1 = xs  # per-radial-group table slices
         s = None
@@ -224,15 +230,16 @@ def collide_ds(
                 _cindex(ax, (sl, slice(None), None, None)),
                 _cindex(a_yz, (slice(None), None, slice(None), slice(None))),
             )  # (sb, N, N, N)
-            g1 = tf_inv(ds.cmul(a1, f_hat))
-            g2 = tf_inv(ds.cmul(ds.cconj(a1), f_hat))
-            h = ds.cmul(g1, g2)
+            t1, t2 = ds.cmul_both(a1, f_hat)
+            g1 = tf_inv(t1, real_out=True).re
+            g2 = tf_inv(t2, real_out=True).re
+            h = ds.mul(g1, g2)  # real Hadamard
             # weighted group sum BEFORE the forward transform (beta1 is
             # shared within the radial group; hoisting is exact by linearity)
-            for j in range(h.re.hi.shape[0]):
-                term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
-                s = term if s is None else ds.cadd(s, term)
-        h_hat = tf_fwd(s)
+            for j in range(h.hi.shape[0]):
+                term = ds.mul(_cindex(h, j), _cindex(gw, j0 + j))
+                s = term if s is None else ds.add(s, term)
+        h_hat = tf_fwd(ds.cds_from_real(s), real_in=True)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
     acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
@@ -242,8 +249,8 @@ def collide_ds(
     if gain_reduce is not None:
         q_gain_hat = gain_reduce(q_gain_hat)
 
-    q_gain = tf_inv(q_gain_hat).re
-    loss = tf_inv(ds.cmul_ds(f_hat, pre.beta2)).re
+    q_gain = tf_inv(q_gain_hat, real_out=True).re
+    loss = tf_inv(ds.cmul_ds(f_hat, pre.beta2), real_out=True).re
     return ds.sub(q_gain, ds.mul(loss, f))
 
 

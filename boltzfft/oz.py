@@ -178,21 +178,31 @@ def _fold_levels(a: list, b: list, sign_b: float) -> DS:
 
 
 def contract_last_oz(
-    x: CDS, m: CSlicedMatrix, cmax: int = DEFAULT_CMAX, w: int = DEFAULT_W
+    x: CDS, m: CSlicedMatrix, cmax: int = DEFAULT_CMAX, w: int = DEFAULT_W,
+    real_in: bool = False, real_out: bool = False,
 ) -> CDS:
     """``out[..., l] = sum_k x[..., k] * m[k, l]`` — ds accuracy, MXU speed.
 
     Drop-in replacement for :func:`boltzfft.ds.contract_last` with the matrix
     pre-split by :func:`slice_matrix`.  ``4 * (cmax+1)(cmax+2)/2`` bf16
-    matmuls + O(output) compensated recombination.
+    matmuls + O(output) compensated recombination.  ``real_in`` treats the
+    imaginary input plane as exactly zero (half the slicing + dots);
+    ``real_out`` skips the imaginary output (returned as zeros).
     """
     xr = slice_ds_last(x.re, w=w)
-    xi = slice_ds_last(x.im, w=w)
     rr = _level_dots(xr, m.re, cmax)
-    ii = _level_dots(xi, m.im, cmax)
-    ri = _level_dots(xr, m.im, cmax)
-    ir = _level_dots(xi, m.re, cmax)
-    return CDS(_fold_levels(rr, ii, -1.0), _fold_levels(ri, ir, +1.0))
+    ri = None if real_out else _level_dots(xr, m.im, cmax)
+    if real_in:
+        ii, ir = [], []
+    else:
+        xi = slice_ds_last(x.im, w=w)
+        ii = _level_dots(xi, m.im, cmax)
+        ir = [] if real_out else _level_dots(xi, m.re, cmax)
+    re = _fold_levels(rr, ii, -1.0)
+    if real_out:
+        z = ds.DS(jnp.zeros_like(re.hi), jnp.zeros_like(re.lo))
+        return CDS(re, z)
+    return CDS(re, _fold_levels(ri, ir, +1.0))
 
 
 # --------------------------------------------------------------------------
@@ -231,6 +241,7 @@ def _k_add_float(hi, lo, p, opq):
 def _oz_contract_kernel(
     sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref, mre_ref, mim_ref,
     orh_ref, orl_ref, oih_ref, oil_ref, *, w, sx, sm, ell, cmax, pin,
+    real_in=False, real_out=False,
 ):
     """v2 layout: the ``sx`` chunks stack on the SUBLANE axis and the ``sm``
     matrix slices on the LANE axis, so each (component-pair) product is ONE
@@ -254,7 +265,7 @@ def _oz_contract_kernel(
         return jnp.concatenate(out, axis=0)  # (sx*rb, K)
 
     cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
-    ci = slices(xih_ref[:], xil_ref[:], si_ref[:])
+    ci = None if real_in else slices(xih_ref[:], xil_ref[:], si_ref[:])
     mre, mim = mre_ref[:], mim_ref[:]
 
     # trim the stacked dot: pairs with i + j > cmax never enter the fold, so
@@ -290,13 +301,16 @@ def _oz_contract_kernel(
         return tile
 
     reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
-    # products sequentially (bounds live VMEM to one stacked product pair)
-    for chunks, mat, sgn, which in (
-        (cr, mre, 1.0, "re"),
-        (ci, mim, -1.0, "re"),
-        (cr, mim, 1.0, "im"),
-        (ci, mre, 1.0, "im"),
-    ):
+    # products sequentially (bounds live VMEM to one stacked product pair);
+    # real_in drops the ci groups, real_out the im-destined groups
+    groups = [(cr, mre, 1.0, "re")]
+    if not real_in:
+        groups.append((ci, mim, -1.0, "re"))
+    if not real_out:
+        groups.append((cr, mim, 1.0, "im"))
+        if not real_in:
+            groups.append((ci, mre, 1.0, "im"))
+    for chunks, mat, sgn, which in groups:
         tile = products(chunks, mat)
         for d in range(cmax + 1):
             acc = None
@@ -331,7 +345,8 @@ def _row_block(rows: int) -> int:
 
 
 def _oz_contract_v2_jnp(
-    sig_r, sig_i, xrh, xrl, xih, xil, m_re, m_im, *, w, sx, sm, ell, cmax
+    sig_r, sig_i, xrh, xrl, xih, xil, m_re, m_im, *, w, sx, sm, ell, cmax,
+    real_in=False, real_out=False,
 ):
     """Pure-jnp twin of ``_oz_contract_kernel`` for non-TPU backends.
 
@@ -359,19 +374,21 @@ def _oz_contract_v2_jnp(
         return jnp.stack(out)  # (sx, rows, K) f32 (bf16-exact values)
 
     cr = slices(xrh, xrl, sig_r)
-    ci = slices(xih, xil, sig_i)
+    ci = None if real_in else slices(xih, xil, sig_i)
     m_re32 = m_re.astype(jnp.float32)  # (sm, K, ell)
     m_im32 = m_im.astype(jnp.float32)
 
     reh = rel = jnp.zeros((rows, ell), jnp.float32)
     imh = iml = jnp.zeros((rows, ell), jnp.float32)
     hp = jax.lax.Precision.HIGHEST
-    for chunks, mat, sgn, which in (
-        (cr, m_re32, 1.0, "re"),
-        (ci, m_im32, -1.0, "re"),
-        (cr, m_im32, 1.0, "im"),
-        (ci, m_re32, 1.0, "im"),
-    ):
+    groups = [(cr, m_re32, 1.0, "re")]
+    if not real_in:
+        groups.append((ci, m_im32, -1.0, "re"))
+    if not real_out:
+        groups.append((cr, m_im32, 1.0, "im"))
+        if not real_in:
+            groups.append((ci, m_re32, 1.0, "im"))
+    for chunks, mat, sgn, which in groups:
         for d in range(cmax + 1):
             acc = None
             for i in range(min(d, sx - 1), -1, -1):
@@ -402,6 +419,8 @@ def contract_last_oz_kernel(
     cmax: int = DEFAULT_CMAX,
     w: int = DEFAULT_W,
     interpret: Optional[bool] = None,
+    real_in: bool = False,
+    real_out: bool = False,
 ) -> CDS:
     """Fused-kernel version of :func:`contract_last_oz` (same math)."""
     if interpret is None:
@@ -423,6 +442,7 @@ def contract_last_oz_kernel(
         out = _oz_contract_v2_jnp(
             sig_r, sig_i, xrh, xrl, xih, xil, m.re, m.im,
             w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+            real_in=real_in, real_out=real_out,
         )
         reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
         return CDS(DS(reh, rel), DS(imh, iml))
@@ -436,7 +456,7 @@ def contract_last_oz_kernel(
         partial(
             _oz_contract_kernel,
             w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
-            pin=interpret,
+            pin=interpret, real_in=real_in, real_out=real_out,
         ),
         grid=(rows // rb,),
         in_specs=[
@@ -457,6 +477,8 @@ def transform3_oz(
     m,
     cmax: int = DEFAULT_CMAX,
     kernel: Optional[bool] = None,
+    real_in: bool = False,
+    real_out: bool = False,
 ) -> CDS:
     """Separable 3-D transform of the trailing (Nx, Ny, Nz) axes with the
     sliced matrix/matrices ``m`` (one :class:`CSlicedMatrix` shared by all
@@ -471,7 +493,9 @@ def transform3_oz(
         kernel = jax.default_backend() == "tpu"
     # kernel=True off-TPU runs the jnp twin (tests)
     c = contract_last_oz_kernel if kernel else contract_last_oz
-    x = c(x, mz, cmax)  # z
+    x = c(x, mz, cmax, real_in=real_in)  # z
     x = ds._swap_last2(c(ds._swap_last2(x), my, cmax))  # y
-    x = ds._roll_axis(c(ds._roll_axis(x, -3, -1), mx, cmax), -1, -3)  # x
+    x = ds._roll_axis(
+        c(ds._roll_axis(x, -3, -1), mx, cmax, real_out=real_out), -1, -3
+    )  # x
     return x
