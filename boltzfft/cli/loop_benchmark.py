@@ -11,7 +11,10 @@ the same two patterns:
               per-axis factors vs a materialized full alpha table;
   pattern 2 — gain contraction: sum_b w(b,l) * h_hat(b,l), as einsum (the
               deterministic replacement for the reference's atomics) vs an
-              explicit scan accumulation.
+              explicit scan accumulation, plus the fused Pallas gain_reduce
+              kernel swept over its tile sizes (``--tile-size``, the analog
+              of the reference's ``--tile_size`` knob for its tiled
+              contraction, ``loop_benchmark_cpu.cpp:37, 382-435``).
 """
 
 from __future__ import annotations
@@ -27,6 +30,11 @@ def main(argv=None):
 
     p = standard_parser(__doc__)
     p.add_argument("--chain", type=int, default=8)
+    p.add_argument(
+        "--tile-size", type=int, nargs="*", default=None,
+        help="node-block tile sizes to sweep for the Pallas gain_reduce "
+             "kernel (default: 4 8 16; reference analog: --tile_size)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -110,6 +118,23 @@ def main(argv=None):
 
     timed("pattern2 gain reduce (fused einsum)", p2_einsum, h_hat)
     timed("pattern2 gain reduce (scan accumulate)", p2_scan, h_hat)
+
+    # -- pattern 2, Pallas kernel: node-tile sweep (reference --tile_size) --
+    from boltzfft import pallas_kernels as pk
+
+    hr = jnp.real(h_hat).reshape(b, -1).astype(rd)
+    hi = jnp.imag(h_hat).reshape(b, -1).astype(rd)
+    nl = pre.norm_l.reshape(-1)
+    for tile in (args.tile_size if args.tile_size else (4, 8, 16)):
+        def p2_pallas(hr_, hi_, _tile=tile):
+            return pk.gain_reduce(
+                hr_, hi_, pre.rho, pre.gain_w, nl,
+                length=cfg.domain_length, b_gamma=cfg.b_gamma,
+                node_block=_tile,
+            )
+
+        timed(f"pattern2 gain reduce (pallas, tile={tile})",
+              p2_pallas, hr, hi)
 
     best = min(results, key=results.get)
     print(f"\nFastest: {best}")
