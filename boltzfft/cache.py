@@ -49,7 +49,13 @@ def save_precomp(path: str | Path, cfg: CollisionConfig, pre: Precomp) -> None:
 def load_precomp(path: str | Path) -> tuple[CollisionConfig, Precomp]:
     """Load (config, precomp); arrays are placed with the config's dtypes."""
     with np.load(path, allow_pickle=False) as z:
-        cfg = CollisionConfig(**json.loads(str(z["__config__"])))
+        data = json.loads(str(z["__config__"]))
+        # Archives written before the antipodal-pair reduction existed were
+        # built from the full design; defaulting the missing key to False
+        # keeps cfg.ns_eff consistent with the stored node tables (the new
+        # default True would silently mis-group the radial hoisting).
+        data.setdefault("antipodal", False)
+        cfg = CollisionConfig(**data)
         fields = {}
         for name in Precomp._fields:
             key = f"arr_{name}"

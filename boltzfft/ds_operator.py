@@ -210,12 +210,19 @@ def collide_ds(
         raise ValueError(f"unknown ds contract engine: {contract!r}")
     f_hat = tf_fwd(ds.cds_from_real(f), real_in=True)
 
-    # Structure exploits (exact for real f, Hermitian spectra — the same
-    # facts the rfft impl rides): the shifted convolution factors g1/g2 are
-    # real, so the inverse transforms keep only real outputs, the Hadamard
-    # and hoisted group sum run on real planes, and the forward transform
-    # of the group sum sees a real input.  alpha1*f_hat and conj(alpha1)*
-    # f_hat share their four component products (ds.cmul_both).
+    # Exact structure exploits only (parity with the complex f64 reference
+    # must hold to ~1e-12 for ANY input, resolved or not):
+    # * f_hat's transform input is literally real (real_in exact);
+    # * alpha1*f_hat and conj(alpha1)*f_hat share their four component
+    #   products (ds.cmul_both, exact algebra);
+    # * the final inverses take Re(IFFT(.)) exactly as the reference does
+    #   (FFTWBoltzmannOperator.cpp:314-330), so real_out there computes the
+    #   same projection without the imaginary output plane.
+    # NOT exploited: realness of g1/g2 — it fails at the unpaired Nyquist
+    # mode (alpha1(-N/2) has no +N/2 partner), so h must stay the complex
+    # Hadamard for bit-parity on under-resolved inputs (the rfft impl's
+    # documented approximation is deliberately NOT imported into this
+    # accuracy instrument).
     def group(acc, xs):
         ax, ay, az, gw, b1 = xs  # per-radial-group table slices
         s = None
@@ -231,15 +238,15 @@ def collide_ds(
                 _cindex(a_yz, (slice(None), None, slice(None), slice(None))),
             )  # (sb, N, N, N)
             t1, t2 = ds.cmul_both(a1, f_hat)
-            g1 = tf_inv(t1, real_out=True).re
-            g2 = tf_inv(t2, real_out=True).re
-            h = ds.mul(g1, g2)  # real Hadamard
+            g1 = tf_inv(t1)
+            g2 = tf_inv(t2)
+            h = ds.cmul(g1, g2)
             # weighted group sum BEFORE the forward transform (beta1 is
             # shared within the radial group; hoisting is exact by linearity)
-            for j in range(h.hi.shape[0]):
-                term = ds.mul(_cindex(h, j), _cindex(gw, j0 + j))
-                s = term if s is None else ds.add(s, term)
-        h_hat = tf_fwd(ds.cds_from_real(s), real_in=True)
+            for j in range(h.re.hi.shape[0]):
+                term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
+                s = term if s is None else ds.cadd(s, term)
+        h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
     acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)

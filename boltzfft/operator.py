@@ -335,11 +335,7 @@ def collide(
 
         scheme = cfg.fused_scheme
         if scheme == "auto":
-            # ct needs a valid radix split for BOTH lane axes (x is a dense
-            # matmul in every scheme, so nv itself never constrains ct)
-            _, ny, nz = cfg.grid_shape
-            ct_ok = pk._ct_pick_radix(ny) and pk._ct_pick_radix(nz)
-            scheme = "ct" if ct_ok else "kron"
+            scheme = pk.pick_scheme(*cfg.grid_shape)
         if scheme == "ct":
             return _fused_io_diff(cfg, pre, f)
     if cfg.impl == "rfft":
@@ -378,7 +374,7 @@ def fused_fits_vmem(cfg: CollisionConfig) -> bool:
     if pk._interpret():
         return True
     nx, ny, nz = cfg.grid_shape
-    return 14 * nx * ny * nz * 4 <= (100 << 20)
+    return pk.ct_vmem_bytes(nx, ny, nz) <= pk.CT_VMEM_BUDGET
 
 
 def make_collision_operator(

@@ -239,9 +239,7 @@ def _k_add_float(hi, lo, p, opq):
 
 
 def _oz_contract_kernel(
-    sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref, mre_ref, mim_ref,
-    orh_ref, orl_ref, oih_ref, oil_ref, *, w, sx, sm, ell, cmax, pin,
-    real_in=False, real_out=False,
+    *refs, w, sx, sm, ell, cmax, pin, real_in=False, real_out=False,
 ):
     """v2 layout: the ``sx`` chunks stack on the SUBLANE axis and the ``sm``
     matrix slices on the LANE axis, so each (component-pair) product is ONE
@@ -250,6 +248,14 @@ def _oz_contract_kernel(
     sx*sm pairs, ~1.5x the needed FLOPs, at far better MXU efficiency).
     Level d then sums the output tiles [i*rb, j*L] with i+j=d (f32 adds of a
     shared power-of-two unit: exact) before the compensated fold."""
+    if real_in:
+        # imaginary input planes are exactly zero and are not shipped at all
+        (sr_ref, xrh_ref, xrl_ref, mre_ref, mim_ref,
+         orh_ref, orl_ref, oih_ref, oil_ref) = refs
+        si_ref = xih_ref = xil_ref = None
+    else:
+        (sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref,
+         mre_ref, mim_ref, orh_ref, orl_ref, oih_ref, oil_ref) = refs
     rb = xrh_ref.shape[0]
     opq = _opaque if pin else (lambda v: v)
 
@@ -432,15 +438,24 @@ def contract_last_oz_kernel(
     rb = _row_block(rows)
     flat = lambda a: a.reshape(rows, k).astype(jnp.float32)
     xrh, xrl = flat(x.re.hi), flat(x.re.lo)
-    xih, xil = flat(x.im.hi), flat(x.im.lo)
     sig_r = _pow2_ceil(jnp.max(jnp.abs(xrh), axis=-1, keepdims=True))
-    sig_i = _pow2_ceil(jnp.max(jnp.abs(xih), axis=-1, keepdims=True))
+    if real_in:
+        xih = xil = sig_i = None
+    else:
+        xih, xil = flat(x.im.hi), flat(x.im.lo)
+        sig_i = _pow2_ceil(jnp.max(jnp.abs(xih), axis=-1, keepdims=True))
 
     if interpret:
         # non-TPU: the pure-jnp twin (see its docstring for why NOT
         # pallas interpret mode)
+        zz = jnp.zeros_like if real_in else (lambda a: a)
         out = _oz_contract_v2_jnp(
-            sig_r, sig_i, xrh, xrl, xih, xil, m.re, m.im,
+            sig_r,
+            sig_r if real_in else sig_i,
+            xrh, xrl,
+            zz(xrh) if real_in else xih,
+            zz(xrl) if real_in else xil,
+            m.re, m.im,
             w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
             real_in=real_in, real_out=real_out,
         )
@@ -452,6 +467,17 @@ def contract_last_oz_kernel(
 
     row_spec = lambda width: pl.BlockSpec((rb, width), lambda i: (i, 0))
     m_spec = pl.BlockSpec((k, sm * ell), lambda i: (0, 0))
+    if real_in:
+        in_specs = [row_spec(1), row_spec(k), row_spec(k), m_spec, m_spec]
+        operands = (sig_r, xrh, xrl, m_all(m.re), m_all(m.im))
+    else:
+        in_specs = [
+            row_spec(1), row_spec(1),
+            row_spec(k), row_spec(k), row_spec(k), row_spec(k),
+            m_spec, m_spec,
+        ]
+        operands = (sig_r, sig_i, xrh, xrl, xih, xil,
+                    m_all(m.re), m_all(m.im))
     out = pl.pallas_call(
         partial(
             _oz_contract_kernel,
@@ -459,15 +485,11 @@ def contract_last_oz_kernel(
             pin=interpret, real_in=real_in, real_out=real_out,
         ),
         grid=(rows // rb,),
-        in_specs=[
-            row_spec(1), row_spec(1),
-            row_spec(k), row_spec(k), row_spec(k), row_spec(k),
-            m_spec, m_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[row_spec(ell)] * 4,
         out_shape=[jax.ShapeDtypeStruct((rows, ell), jnp.float32)] * 4,
         interpret=interpret,
-    )(sig_r, sig_i, xrh, xrl, xih, xil, m_all(m.re), m_all(m.im))
+    )(*operands)
     reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
 

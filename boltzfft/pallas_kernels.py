@@ -384,12 +384,46 @@ def _ct_tables(ny: int, ry: int, nz: int, rz: int):
     return k.real, k.imag, tw.real, tw.imag
 
 
+def ct_vmem_bytes(nx: int, ny: int, nz: int) -> int:
+    """Peak VMEM working-set estimate for the io ct megakernel: ~14
+    (Nx, Ny*Nz) f32 planes (f_hat + gain accumulators + io scratches +
+    transform temps).  Single source of truth for the ceiling check."""
+    return 14 * nx * ny * nz * 4
+
+
+CT_VMEM_BUDGET = 100 << 20  # past this Mosaic's scoped vmem OOMs (measured)
+
+
 def _as_axes(m):
     """Normalize a transform-matrix argument to an (x, y, z) triple of
     (2, N, N) stacks: a single shared stack (cubic) or a per-axis tuple."""
     if isinstance(m, (tuple, list)):
         return tuple(m)
     return (m, m, m)
+
+
+def pick_scheme(nx: int, ny: int, nz: int) -> str:
+    """The shared ``scheme="auto"`` rule (used by ``operator.collide`` and
+    :func:`fused_gain` so they can never disagree): kron when the
+    (NyNz, NyNz) table is small, ct when both lane axes have valid radix
+    splits, transpose for larger cubic grids, and kron again for
+    anisotropic grids whose table still fits the VMEM budget.  Raises a
+    clear error (naming the staged alternative) when nothing fits —
+    CollisionConfig cannot know the backend at construction time, so this
+    is the earliest the check can run."""
+    if ny * nz <= 1024:
+        return "kron"
+    if _ct_pick_radix(ny) and _ct_pick_radix(nz):
+        return "ct"
+    if nx == ny == nz:
+        return "transpose"
+    if 2 * (ny * nz) ** 2 * 4 <= (28 << 20):  # table still fits VMEM
+        return "kron"
+    raise ValueError(
+        f"no fused scheme fits grid ({nx},{ny},{nz}) on this backend "
+        "(Ny*Nz too large for the kron table and no hardware-valid "
+        "Cooley-Tukey radix for both lane axes); use impl='rfft' or 'c2c'"
+    )
 
 
 def _bf1d(vals, r, sign):
@@ -671,15 +705,13 @@ def _fused_gain_ct(
     n2 = ny * nz
     io = f is not None
 
-    # VMEM ceiling: the kernel keeps ~14 (Nx, Ny*Nz) f32 planes live at peak
-    # (f_hat + gain accumulators + io scratches + transform temps).  Past
-    # ~100 MB Mosaic's scoped vmem OOMs (measured: 128^3 wants 226 MB) —
-    # fail at trace time with the actionable alternative instead.
-    if not _interpret() and 14 * nx * n2 * 4 > (100 << 20):
+    # VMEM ceiling (see ct_vmem_bytes) — fail at trace time with the
+    # actionable alternative instead of a Mosaic scoped-vmem OOM.
+    if not _interpret() and ct_vmem_bytes(nx, ny, nz) > CT_VMEM_BUDGET:
         raise ValueError(
             f"grid ({nx},{ny},{nz}) exceeds the fused megakernel's VMEM "
-            f"working set (~{14 * nx * n2 * 4 >> 20} MB needed); use "
-            "impl='rfft' (chunked staged pipeline) for grids beyond ~96^3"
+            f"working set (~{ct_vmem_bytes(nx, ny, nz) >> 20} MB needed); "
+            "use impl='rfft' (chunked staged pipeline) for grids beyond ~96^3"
         )
 
     c, cc, gs = _ct_node_blocking(b, nx, nodes_per_step, radial_group,
@@ -888,15 +920,7 @@ def fused_gain(
     ny, nz = ay.shape[1], az.shape[1]
     cubic = n == ny == nz
     if scheme == "auto":
-        # dense Kron table (NyNz, NyNz) fits VMEM only up to NyNz = 1024;
-        # beyond that the Cooley-Tukey block factorization when valid per-axis
-        # radix splits exist
-        if ny * nz <= 1024:
-            scheme = "kron"
-        elif _ct_pick_radix(ny) and _ct_pick_radix(nz):
-            scheme = "ct"
-        else:
-            scheme = "transpose"
+        scheme = pick_scheme(n, ny, nz)
     if scheme == "transpose" and not cubic:
         raise ValueError(
             "fused scheme 'transpose' supports cubic grids only; use "

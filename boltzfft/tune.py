@@ -35,8 +35,9 @@ _MEMO: dict = {}
 
 def _probe_key(cfg: CollisionConfig) -> tuple:
     return (
-        cfg.nv, cfg.ns, cfg.n_gl, cfg.dtype, cfg.fused_scheme,
-        cfg.fused_precision, cfg.fused_radix, cfg.antipodal,
+        cfg.nv, cfg.nvy, cfg.nvz, cfg.ns, cfg.n_gl, cfg.dtype,
+        cfg.fused_scheme, cfg.fused_precision, cfg.fused_radix,
+        cfg.antipodal,
     )
 
 

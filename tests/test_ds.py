@@ -16,7 +16,8 @@ import pytest
 
 import boltzfft as bz
 from boltzfft import ds
-from boltzfft.ds_operator import build_ds_precomp, make_ds_collision_operator
+from boltzfft.ds_operator import (build_ds_precomp, collide_ds,
+                                  make_ds_collision_operator)
 
 
 RNG = np.random.default_rng(42)
@@ -181,3 +182,27 @@ class TestPrecompTables:
         pre64 = build_precomp(cfg64)
         b2 = ds.to_f64(pre.beta2)
         np.testing.assert_allclose(b2, np.asarray(pre64.beta2), rtol=1e-14)
+
+
+class TestNyquistContent:
+    def test_under_resolved_input_keeps_f64_parity(self):
+        # Regression (round-3 review): alpha1 at the unpaired Nyquist mode
+        # is complex, so g1/g2 are NOT exactly real — a noisy, under-resolved
+        # input has O(1) Nyquist content and the ds pipeline must still match
+        # the complex f64 reference to ds accuracy (the rfft impl's Nyquist
+        # approximation must not leak into this accuracy instrument).
+        rng = np.random.RandomState(7)
+        cfg64 = bz.CollisionConfig(nv=6, ns=6, n_radial=3, impl="c2c",
+                                   dtype="float64")
+        coll, pre64 = bz.make_collision_operator(cfg64)
+        g = cfg64.velocity_grid
+        f64 = np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64)
+        f64 = f64 * (1.0 + 0.3 * rng.rand(*f64.shape))  # Nyquist-rich
+        q_ref = np.asarray(coll(f64, pre64), np.float64)
+
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=3, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        q = ds.to_f64(collide_ds(cfg, pre, ds.from_f64(f64), contract="vpu"))
+        rel = np.max(np.abs(q - q_ref)) / np.max(np.abs(q_ref))
+        assert rel < 1e-12, rel
