@@ -411,10 +411,12 @@ def pick_scheme(nx: int, ny: int, nz: int) -> str:
     clear error (naming the staged alternative) when nothing fits —
     CollisionConfig cannot know the backend at construction time, so this
     is the earliest the check can run."""
-    if ny * nz <= 1024:
-        return "kron"
+    # ct first: the io megakernel (fully in-kernel eval) exists only for ct
+    # and is the measured-fastest path wherever valid radices exist
     if _ct_pick_radix(ny) and _ct_pick_radix(nz):
         return "ct"
+    if ny * nz <= 1024:
+        return "kron"
     if nx == ny == nz:
         return "transpose"
     if 2 * (ny * nz) ** 2 * 4 <= (28 << 20):  # table still fits VMEM
