@@ -52,7 +52,7 @@ def _default_candidates(cfg: CollisionConfig) -> list:
     b = cfg.n_nodes
     seen, cands = set(), []
     for nps in (cfg.ns_eff, 2 * cfg.ns_eff, 24, 48, 4 * cfg.ns_eff):
-        for sb in (0, 4, 8):
+        for sb in (0, 2, 3, 4, 8):  # must divide the radial group (ns_eff)
             try:
                 c, cc, gs = pk._ct_node_blocking(b, cfg.nv, nps, cfg.ns_eff, sb)
             except ValueError:
