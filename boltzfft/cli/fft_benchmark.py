@@ -50,19 +50,25 @@ def main(argv=None):
         def chain(a, k):
             return jax.lax.fori_loop(0, k, lambda i, y: fn(y), a)
 
-        out = chain(arg, args.chain)
-        float(jnp.sum(jnp.abs(out[0, 0, 0])))
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
+        try:
             out = chain(arg, args.chain)
             float(jnp.sum(jnp.abs(out[0, 0, 0])))
-            best = min(best, time.perf_counter() - t0)
-        per_pass = best / args.chain
-        results[label] = per_pass
-        # round-trip error after one pass (fn is identity up to roundoff)
-        err = float(jnp.mean(jnp.abs(fn(arg) - arg)))
-        print(f"{label:34s} {per_pass:.4e} s/round-trip   L1 err {err:.3e}")
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                out = chain(arg, args.chain)
+                float(jnp.sum(jnp.abs(out[0, 0, 0])))
+                best = min(best, time.perf_counter() - t0)
+            per_pass = best / args.chain
+            results[label] = per_pass
+            # round-trip error after one pass (fn is identity up to roundoff)
+            err = float(jnp.mean(jnp.abs(fn(arg) - arg)))
+            print(f"{label:34s} {per_pass:.4e} s/round-trip   L1 err {err:.3e}")
+        except Exception as e:
+            # a variant that doesn't fit (e.g. the full-batch c2c working set
+            # at 64^3 x Ns*Nv grids) reports and the sweep continues — like
+            # the reference's per-strategy sections (fftw_benchmark.cpp)
+            print(f"{label:34s} FAILED: {type(e).__name__}: {str(e)[:120]}")
 
     axes = (-3, -2, -1)
     timed(
@@ -91,6 +97,9 @@ def main(argv=None):
 
     timed(f"rfftn+irfftn (scan over {n_chunks} chunks)", chunked_roundtrip, x)
 
+    if not results:
+        print("\nno variant fit this configuration")
+        return 1
     best = min(results, key=results.get)
     print(f"\nFastest: {best} ({results[best]:.4e} s)")
     return 0
