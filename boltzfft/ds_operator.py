@@ -171,7 +171,7 @@ def _cindex(x, idx):
 
 
 def collide_ds(
-    cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 4,
+    cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 2,
     contract: str = "vpu",
     gain_reduce: Optional[Callable[[CDS], CDS]] = None,
 ) -> DS:
@@ -184,7 +184,9 @@ def collide_ds(
 
     ``sub_batch`` bounds how many of a radial group's ``ns`` nodes are in
     flight at once (peak live state is ~6 complex-ds ``(sub_batch, N^3)``
-    tensors; at 64^3 each node costs ~8 MB per tensor).
+    tensors; at 64^3 each node costs ~8 MB per tensor).  Default 2 is the
+    TPU-measured optimum at 64^3 (0.377 vs 0.394 s/eval at 4; 32^3 is flat
+    within 1%) — probe per config with :func:`boltzfft.autotune_ds`.
 
     ``contract`` picks the transform engine: ``"vpu"`` = compensated rank-1
     updates (bit-exact ds reference), ``"oz"`` = Ozaki-scheme sliced bf16
@@ -271,7 +273,7 @@ def default_contract() -> str:
 
 def make_ds_collision_operator(
     cfg: CollisionConfig, jit: bool = True, dtype=np.float32,
-    sub_batch: int = 4, contract: Optional[str] = None,
+    sub_batch: int = 2, contract: Optional[str] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
@@ -340,7 +342,7 @@ def make_sharded_ds_collision_operator(
     ensemble_axis: Optional[str] = None,
     jit: bool = True,
     dtype=np.float32,
-    sub_batch: int = 4,
+    sub_batch: int = 2,
     contract: Optional[str] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
