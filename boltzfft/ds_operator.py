@@ -225,23 +225,40 @@ def collide_ds(
     # Hadamard for bit-parity on under-resolved inputs (the rfft impl's
     # documented approximation is deliberately NOT imported into this
     # accuracy instrument).
+    # oz/ozk engines fuse the separable per-axis phases into each axis
+    # contraction as a kernel prologue (oz.transform3_oz_phased): the
+    # materialized alpha / alpha*f_hat intermediates — measured 61% of the
+    # eval — disappear entirely.  The vpu reference engine keeps the
+    # explicit a1/cmul_both formulation (bit-reference path).
+    phased = contract in ("oz", "ozk")
+    kern = True if contract == "ozk" else None
+
     def group(acc, xs):
         ax, ay, az, gw, b1 = xs  # per-radial-group table slices
         s = None
         for j0 in range(0, ns, sb):
             sl = slice(j0, min(j0 + sb, ns))
-            # a1[s, x, y, z] = ax[s, x] * ay[s, y] * az[s, z]
-            a_yz = ds.cmul(
-                _cindex(ay, (sl, slice(None), None)),
-                _cindex(az, (sl, None, slice(None))),
-            )  # (sb, N, N)
-            a1 = ds.cmul(
-                _cindex(ax, (sl, slice(None), None, None)),
-                _cindex(a_yz, (slice(None), None, slice(None), slice(None))),
-            )  # (sb, N, N, N)
-            t1, t2 = ds.cmul_both(a1, f_hat)
-            g1 = tf_inv(t1)
-            g2 = tf_inv(t2)
+            if phased:
+                ph = (_cindex(ax, sl), _cindex(ay, sl), _cindex(az, sl))
+                g1 = oz.transform3_oz_phased(
+                    f_hat, pre.vinv_sl, ph, conj=False, kernel=kern
+                )
+                g2 = oz.transform3_oz_phased(
+                    f_hat, pre.vinv_sl, ph, conj=True, kernel=kern
+                )
+            else:
+                # a1[s, x, y, z] = ax[s, x] * ay[s, y] * az[s, z]
+                a_yz = ds.cmul(
+                    _cindex(ay, (sl, slice(None), None)),
+                    _cindex(az, (sl, None, slice(None))),
+                )  # (sb, N, N)
+                a1 = ds.cmul(
+                    _cindex(ax, (sl, slice(None), None, None)),
+                    _cindex(a_yz, (slice(None), None, slice(None), slice(None))),
+                )  # (sb, N, N, N)
+                t1, t2 = ds.cmul_both(a1, f_hat)
+                g1 = tf_inv(t1)
+                g2 = tf_inv(t2)
             h = ds.cmul(g1, g2)
             # weighted group sum BEFORE the forward transform (beta1 is
             # shared within the radial group; hoisting is exact by linearity)

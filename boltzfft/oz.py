@@ -224,6 +224,64 @@ def contract_last_oz(
 # --------------------------------------------------------------------------
 
 
+_SPLIT_F32 = float(2 ** 12 + 1)  # Dekker split constant for f32
+
+
+def _k_mul(ah, al, bh, bl, opq):
+    """In-kernel ds multiply (same algebra as ds.mul; opq pins off-Mosaic)."""
+    p = opq(ah * bh)
+    c = opq(ah * _SPLIT_F32)
+    h1 = opq(c - (c - ah))
+    l1 = ah - h1
+    c = opq(bh * _SPLIT_F32)
+    h2 = opq(c - (c - bh))
+    l2 = bh - h2
+    e = ((h1 * h2 - p) + h1 * l2 + l1 * h2) + l1 * l2
+    e = e + (ah * bl + al * bh)
+    sHi = opq(p + e)
+    return sHi, e - (sHi - p)
+
+
+def _k_ds_add(ah, al, bh, bl, opq):
+    """In-kernel ds add (ds.add algebra)."""
+    s0, e = _k_two_sum(ah, bh, opq)
+    e = e + (al + bl)
+    s1 = opq(s0 + e)
+    return s1, e - (s1 - s0)
+
+
+def _k_ds_sub(ah, al, bh, bl, opq):
+    return _k_ds_add(ah, al, -bh, -bl, opq)
+
+
+def _phase_sigma(a_hi):
+    """Rowwise strictly-greater power-of-two scale, via exp2/log2 (shared by
+    the Mosaic kernel and the jnp twin so both slice with identical scales;
+    matches _pow2_ceil's exponent+1 semantics up to log2 rounding at exact
+    powers of two — a ds-noise-level difference)."""
+    a = jnp.max(jnp.abs(a_hi), axis=-1, keepdims=True)
+    return jnp.where(
+        a > 0.0, jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(a, 1e-38))) + 1.0), 1.0
+    )
+
+
+def _k_phase_cmul(xr, xi, ph, conj, opq):
+    """t = phase * x (or conj(phase) * x) in full ds arithmetic.
+
+    ``xr``/``xi`` are (hi, lo) pairs of the input component planes; ``ph`` is
+    ((pr_hi, pr_lo), (pi_hi, pi_lo)) broadcastable against them."""
+    (prh, prl), (pih, pil) = ph
+    if conj:
+        pih, pil = -pih, -pil
+    rr = _k_mul(prh, prl, xr[0], xr[1], opq)
+    ii = _k_mul(pih, pil, xi[0], xi[1], opq)
+    ri = _k_mul(prh, prl, xi[0], xi[1], opq)
+    ir = _k_mul(pih, pil, xr[0], xr[1], opq)
+    tre = _k_ds_sub(rr[0], rr[1], ii[0], ii[1], opq)
+    tim = _k_ds_add(ri[0], ri[1], ir[0], ir[1], opq)
+    return tre, tim
+
+
 def _k_two_sum(a, b, opq):
     s = opq(a + b)
     bb = s - a
@@ -240,6 +298,7 @@ def _k_add_float(hi, lo, p, opq):
 
 def _oz_contract_kernel(
     *refs, w, sx, sm, ell, cmax, pin, real_in=False, real_out=False,
+    phase=False, conj=False,
 ):
     """v2 layout: the ``sx`` chunks stack on the SUBLANE axis and the ``sm``
     matrix slices on the LANE axis, so each (component-pair) product is ONE
@@ -248,7 +307,15 @@ def _oz_contract_kernel(
     sx*sm pairs, ~1.5x the needed FLOPs, at far better MXU efficiency).
     Level d then sums the output tiles [i*rb, j*L] with i+j=d (f32 adds of a
     shared power-of-two unit: exact) before the compensated fold."""
-    if real_in:
+    if phase:
+        # fused diagonal-phase prologue: t = phase * x computed in-register
+        # from the raw input rows + per-node phase vectors; slicing scales
+        # are derived in-kernel from t (no sig operands, no materialized t)
+        (xrh_ref, xrl_ref, xih_ref, xil_ref,
+         prh_ref, prl_ref, pih_ref, pil_ref,
+         mre_ref, mim_ref, orh_ref, orl_ref, oih_ref, oil_ref) = refs
+        sr_ref = si_ref = None
+    elif real_in:
         # imaginary input planes are exactly zero and are not shipped at all
         (sr_ref, xrh_ref, xrl_ref, mre_ref, mim_ref,
          orh_ref, orl_ref, oih_ref, oil_ref) = refs
@@ -270,8 +337,21 @@ def _oz_contract_kernel(
             r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
         return jnp.concatenate(out, axis=0)  # (sx*rb, K)
 
-    cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
-    ci = None if real_in else slices(xih_ref[:], xil_ref[:], si_ref[:])
+    if phase:
+        # phase blocks ship 8 replicated sublane rows (Mosaic's minimum
+        # sublane block); row 0 broadcasts against the (rb, K) input block
+        ph = (
+            (prh_ref[0:1, :], prl_ref[0:1, :]),
+            (pih_ref[0:1, :], pil_ref[0:1, :]),
+        )
+        tre, tim = _k_phase_cmul(
+            (xrh_ref[:], xrl_ref[:]), (xih_ref[:], xil_ref[:]), ph, conj, opq
+        )
+        cr = slices(tre[0], tre[1], _phase_sigma(tre[0]))
+        ci = slices(tim[0], tim[1], _phase_sigma(tim[0]))
+    else:
+        cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
+        ci = None if real_in else slices(xih_ref[:], xil_ref[:], si_ref[:])
     mre, mim = mre_ref[:], mim_ref[:]
 
     # trim the stacked dot: pairs with i + j > cmax never enter the fold, so
@@ -348,6 +428,15 @@ def _row_block(rows: int) -> int:
         if rows % cand == 0:
             return cand
     return rows
+
+
+def _row_block_in_node(rows_per_node: int) -> int:
+    """Row block that never straddles a node boundary (phase mode: each
+    block reads exactly one node's phase row)."""
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if rows_per_node % cand == 0:
+            return cand
+    return rows_per_node
 
 
 def _oz_contract_v2_jnp(
@@ -427,10 +516,28 @@ def contract_last_oz_kernel(
     interpret: Optional[bool] = None,
     real_in: bool = False,
     real_out: bool = False,
+    phase: Optional[CDS] = None,
+    conj: bool = False,
+    repeat: Optional[int] = None,
 ) -> CDS:
-    """Fused-kernel version of :func:`contract_last_oz` (same math)."""
+    """Fused-kernel version of :func:`contract_last_oz` (same math).
+
+    ``phase``: optional per-node diagonal phase vectors, CDS of shape
+    ``(C, K)`` — the contraction computes ``sum_k (phase[node, k] * x[...,
+    k]) * m[k, l]`` with the ds phase multiply fused into the kernel as a
+    prologue (zero materialized intermediates); ``conj`` conjugates the
+    phase (the g2 stream).  ``repeat``: the input ``x`` is shared by ``C``
+    nodes (read in place via the block index map, never broadcast to HBM);
+    the output gains a leading node axis.  Phase mode computes the slicing
+    scales in-kernel.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if phase is not None:
+        return _phased_contract(
+            x, m, phase, conj, repeat, cmax=cmax, w=w, interpret=interpret
+        )
+    assert repeat is None, "repeat requires phase mode"
     shape = x.re.hi.shape
     k = shape[-1]
     sm, _, ell = m.re.shape
@@ -492,6 +599,112 @@ def contract_last_oz_kernel(
     )(*operands)
     reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
+
+
+def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
+    """Diagonal-phase-fused contraction (see contract_last_oz_kernel)."""
+    shape = x.re.hi.shape
+    k = shape[-1]
+    sm, _, ell = m.re.shape
+    c = phase.re.hi.shape[0]  # nodes
+    rows_in = int(np.prod(shape[:-1]))
+    rows_per_node = rows_in if repeat else rows_in // c
+    rows_out = c * rows_per_node
+    rb = _row_block_in_node(rows_per_node)
+    out_lead = (c,) + shape[:-1] if repeat else shape[:-1]
+
+    flat = lambda a: a.reshape(-1, k).astype(jnp.float32)
+    xrh, xrl = flat(x.re.hi), flat(x.re.lo)
+    xih, xil = flat(x.im.hi), flat(x.im.lo)
+
+    if interpret:
+        # jnp twin: same EFT algebra (pinned), explicit t then the plain twin
+        rep = (lambda a: jnp.tile(a, (c, 1))) if repeat else (lambda a: a)
+        pex = lambda a: jnp.repeat(
+            a.astype(jnp.float32), rows_per_node, axis=0
+        )  # (rows_out, K)
+        ph = (
+            (pex(phase.re.hi), pex(phase.re.lo)),
+            (pex(phase.im.hi), pex(phase.im.lo)),
+        )
+        tre, tim = _k_phase_cmul(
+            (rep(xrh), rep(xrl)), (rep(xih), rep(xil)), ph, conj, _opaque
+        )
+        out = _oz_contract_v2_jnp(
+            _phase_sigma(tre[0]), _phase_sigma(tim[0]),
+            tre[0], tre[1], tim[0], tim[1], m.re, m.im,
+            w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+        )
+        reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
+        return CDS(DS(reh, rel), DS(imh, iml))
+
+    bpn_in = rows_in // rb if repeat else None  # blocks per node, shared x
+    bpn_out = rows_per_node // rb
+    if repeat:
+        x_spec = pl.BlockSpec((rb, k), lambda i, _b=bpn_in: (i % _b, 0))
+    else:
+        x_spec = pl.BlockSpec((rb, k), lambda i: (i, 0))
+    p_spec = pl.BlockSpec((8, k), lambda i, _b=bpn_out: (i // _b, 0))
+    m_all = lambda a: jnp.swapaxes(a, 0, 1).reshape(k, sm * ell)
+    m_spec = pl.BlockSpec((k, sm * ell), lambda i: (0, 0))
+    out_spec = pl.BlockSpec((rb, ell), lambda i: (i, 0))
+    # 8 replicated sublane rows per node (Mosaic minimum sublane block)
+    p32 = lambda a: jnp.repeat(a.astype(jnp.float32), 8, axis=0)
+    out = pl.pallas_call(
+        partial(
+            _oz_contract_kernel,
+            w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+            pin=False, phase=True, conj=conj,
+        ),
+        grid=(rows_out // rb,),
+        in_specs=[x_spec] * 4 + [p_spec] * 4 + [m_spec, m_spec],
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows_out, ell), jnp.float32)] * 4,
+        interpret=False,
+    )(
+        xrh, xrl, xih, xil,
+        p32(phase.re.hi), p32(phase.re.lo),
+        p32(phase.im.hi), p32(phase.im.lo),
+        m_all(m.re), m_all(m.im),
+    )
+    reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
+    return CDS(DS(reh, rel), DS(imh, iml))
+
+
+def transform3_oz_phased(
+    f_hat: CDS,
+    m,
+    phases,
+    conj: bool = False,
+    cmax: int = DEFAULT_CMAX,
+    kernel: Optional[bool] = None,
+) -> CDS:
+    """``IFFT3(alpha_b . f_hat)`` for a block of nodes with the separable
+    per-axis phases fused into each axis contraction.
+
+    ``f_hat`` is the shared ``(Nx, Ny, Nz)`` spectrum; ``phases`` is an
+    ``(px, py, pz)`` triple of CDS tables of shape ``(C, N_axis)``;
+    ``conj=True`` evaluates the conj-phase (g2) stream.  Returns
+    ``(C, Nx, Ny, Nz)``.  This removes the materialized ``alpha``/
+    ``alpha*f_hat`` intermediates entirely — measured 61% of the ds-oz
+    eval before this path existed (round 3).
+    """
+    mx, my, mz = (m, m, m) if isinstance(m, CSlicedMatrix) else tuple(m)
+    px, py, pz = phases
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
+    interp = None if kernel else True
+    ck = partial(contract_last_oz_kernel, cmax=cmax, interpret=interp)
+    c = px.re.hi.shape[0]
+    # z axis: shared input, repeated per node
+    x = ck(f_hat, mz, phase=pz, conj=conj, repeat=c)  # (C, Nx, Ny, Nz)
+    # y axis
+    x = ds._swap_last2(ck(ds._swap_last2(x), my, phase=py, conj=conj))
+    # x axis
+    x = ds._roll_axis(
+        ck(ds._roll_axis(x, -3, -1), mx, phase=px, conj=conj), -1, -3
+    )
+    return x
 
 
 def transform3_oz(

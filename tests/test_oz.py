@@ -150,6 +150,65 @@ class TestPipeline:
         assert default_contract() == want
 
 
+class TestPhasedTransform:
+    """transform3_oz_phased: the separable per-node phase fused into each
+    axis contraction must match the explicit phase-multiply-then-transform
+    formulation (which itself matches f64)."""
+
+    @pytest.mark.parametrize("conj", [False, True])
+    def test_matches_explicit_phase(self, rng, conj):
+        n, c = 8, 3
+        x64 = rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
+        m = np.exp(2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+        # unit-magnitude per-axis phases, as the collision alphas are
+        ph64 = [np.exp(1j * rng.uniform(-np.pi, np.pi, (c, n))) for _ in range(3)]
+        msl = oz.slice_matrix(m)
+        x = ds.cds_from_f64(x64)
+        phases = tuple(ds.cds_from_f64(p) for p in ph64)
+
+        # fused (kernel=False -> jnp twin off-TPU; the Mosaic path is the
+        # same algebra, validated on hardware)
+        got = oz.transform3_oz_phased(x, msl, phases, conj=conj)
+        g = ds.to_f64(got.re) + 1j * ds.to_f64(got.im)
+
+        # explicit f64 reference: a1 = outer(px, py, pz); transform(a1 * x)
+        pcx, pcy, pcz = (np.conj(p) for p in ph64) if conj else ph64
+        a1 = pcx[:, :, None, None] * pcy[:, None, :, None] * pcz[:, None, None, :]
+        t = a1 * x64[None]
+        ref = np.einsum("sxyz,ax,by,cz->sabc", t, m, m, m)
+        assert g.shape == (c, n, n, n)
+        assert np.max(np.abs(g - ref)) / np.max(np.abs(ref)) < 1e-13
+
+    def test_anisotropic_axes(self, rng):
+        nx, ny, nz, c = 4, 6, 8, 2
+        x64 = rng.standard_normal((nx, ny, nz)) + 1j * rng.standard_normal(
+            (nx, ny, nz)
+        )
+        ms = [
+            np.exp(2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+            for n in (nx, ny, nz)
+        ]
+        ph64 = [
+            np.exp(1j * rng.uniform(-np.pi, np.pi, (c, n))) for n in (nx, ny, nz)
+        ]
+        got = oz.transform3_oz_phased(
+            ds.cds_from_f64(x64),
+            tuple(oz.slice_matrix(m) for m in ms),
+            tuple(ds.cds_from_f64(p) for p in ph64),
+        )
+        g = ds.to_f64(got.re) + 1j * ds.to_f64(got.im)
+        a1 = (
+            ph64[0][:, :, None, None]
+            * ph64[1][:, None, :, None]
+            * ph64[2][:, None, None, :]
+        )
+        ref = np.einsum(
+            "sxyz,ax,by,cz->sabc", a1 * x64[None], ms[0], ms[1], ms[2]
+        )
+        assert g.shape == (c, nx, ny, nz)
+        assert np.max(np.abs(g - ref)) / np.max(np.abs(ref)) < 1e-13
+
+
 class TestAnisotropicDs:
     @pytest.mark.slow
     def test_matches_c2c_f64(self):
