@@ -42,6 +42,12 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
              "(TPU default, ~5-7x faster), ozk = force the Pallas kernel",
     )
     p.add_argument(
+        "--oz-cmax", type=int, default=None,
+        help="Ozaki slice-pair retention for the ds oz/ozk engines "
+             "(default 6 = all reference digits; 5 = ~1.3x faster at "
+             "last-digit Linf drift, 7 = max retention)",
+    )
+    p.add_argument(
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )

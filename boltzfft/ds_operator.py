@@ -170,10 +170,19 @@ def _cindex(x, idx):
     return jax.tree.map(lambda a: a[idx], x)
 
 
+#: Ozaki slice-pair retention for the ds *pipeline* (vs oz.DEFAULT_CMAX=7 for
+#: the generic contraction API).  TPU-measured at 64^3/Ns=12: cmax=6 keeps
+#: every reference digit (Linf 3.0689e-12, L2 8.3092e-12) at 1.16x the
+#: cmax=7 speed; cmax=5 reaches 1.27x more at Linf 3.11e-12 (last-digit
+#: drift); cmax=4 degrades to 1.6e-11.  See docs/PERFORMANCE.md.
+DS_PIPELINE_CMAX = 6
+
+
 def collide_ds(
     cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 2,
     contract: str = "vpu",
     gain_reduce: Optional[Callable[[CDS], CDS]] = None,
+    oz_cmax: Optional[int] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -198,13 +207,18 @@ def collide_ds(
     ``gain_reduce`` (sharding hook): applied to the gain spectrum between
     the radial-group scan and the final inverse — the radial-sharded
     operator passes the compensated cross-device fold here.
+
+    ``oz_cmax`` (oz/ozk engines): Ozaki slice-pair retention level, default
+    :data:`DS_PIPELINE_CMAX` — the measured speed/accuracy ladder is in its
+    docstring; the ``vpu`` engine ignores it.
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
+    cmax = DS_PIPELINE_CMAX if oz_cmax is None else oz_cmax
     if contract in ("oz", "ozk"):
         kern = True if contract == "ozk" else None
-        tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl, kernel=kern)
-        tf_inv = partial(oz.transform3_oz, m=pre.vinv_sl, kernel=kern)
+        tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl, kernel=kern, cmax=cmax)
+        tf_inv = partial(oz.transform3_oz, m=pre.vinv_sl, kernel=kern, cmax=cmax)
     elif contract == "vpu":
         tf_fwd = partial(ds.transform3, m=pre.vfwd)
         tf_inv = partial(ds.transform3, m=pre.vinv)
@@ -241,10 +255,10 @@ def collide_ds(
             if phased:
                 ph = (_cindex(ax, sl), _cindex(ay, sl), _cindex(az, sl))
                 g1 = oz.transform3_oz_phased(
-                    f_hat, pre.vinv_sl, ph, conj=False, kernel=kern
+                    f_hat, pre.vinv_sl, ph, conj=False, kernel=kern, cmax=cmax
                 )
                 g2 = oz.transform3_oz_phased(
-                    f_hat, pre.vinv_sl, ph, conj=True, kernel=kern
+                    f_hat, pre.vinv_sl, ph, conj=True, kernel=kern, cmax=cmax
                 )
             else:
                 # a1[s, x, y, z] = ax[s, x] * ay[s, y] * az[s, z]
@@ -291,17 +305,19 @@ def default_contract() -> str:
 def make_ds_collision_operator(
     cfg: CollisionConfig, jit: bool = True, dtype=np.float32,
     sub_batch: int = 2, contract: Optional[str] = None,
+    oz_cmax: Optional[int] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
     Same factory shape as :func:`boltzfft.make_collision_operator`;
     ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
-    ``contract=None`` resolves via :func:`default_contract`.
+    ``contract=None`` resolves via :func:`default_contract`; ``oz_cmax``
+    is the Ozaki retention level (see :func:`collide_ds`).
     """
     pre = build_ds_precomp(cfg, dtype)
     fn = partial(
         collide_ds, cfg, sub_batch=sub_batch,
-        contract=contract or default_contract(),
+        contract=contract or default_contract(), oz_cmax=oz_cmax,
     )
 
     def collide_fn(f, precomp):
@@ -361,6 +377,7 @@ def make_sharded_ds_collision_operator(
     dtype=np.float32,
     sub_batch: int = 2,
     contract: Optional[str] = None,
+    oz_cmax: Optional[int] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
 
@@ -401,7 +418,7 @@ def make_sharded_ds_collision_operator(
     def body(f, p):
         one = lambda fi: collide_ds(
             cfg, p, fi, sub_batch=sub_batch, contract=engine,
-            gain_reduce=reducer,
+            gain_reduce=reducer, oz_cmax=oz_cmax,
         )
         if ensemble_axis is not None:
             return jax.vmap(one)(f)
