@@ -273,12 +273,18 @@ def collide_ds(
                 t1, t2 = ds.cmul_both(a1, f_hat)
                 g1 = tf_inv(t1)
                 g2 = tf_inv(t2)
-            h = ds.cmul(g1, g2)
             # weighted group sum BEFORE the forward transform (beta1 is
             # shared within the radial group; hoisting is exact by linearity)
-            for j in range(h.re.hi.shape[0]):
-                term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
-                s = term if s is None else ds.cadd(s, term)
+            if phased:
+                # fused Hadamard + weighted sum (one VMEM pass on TPU; the
+                # staged twin elsewhere — same op sequence)
+                part = oz.hadamard_wsum(g1, g2, _cindex(gw, sl))
+                s = part if s is None else ds.cadd(s, part)
+            else:
+                h = ds.cmul(g1, g2)
+                for j in range(h.re.hi.shape[0]):
+                    term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
+                    s = term if s is None else ds.cadd(s, term)
         h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 

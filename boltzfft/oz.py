@@ -296,33 +296,89 @@ def _k_add_float(hi, lo, p, opq):
     return s2, e - (s2 - s)
 
 
-def _oz_contract_kernel(
-    *refs, w, sx, sm, ell, cmax, pin, real_in=False, real_out=False,
-    phase=False, conj=False,
+# Kernel dot layout history (all variants compute identical exact level sums
+# — products within a level share a power-of-two unit, so accumulation order
+# cannot round — and run the same fold sequence, so results are bit-identical;
+# only the MXU shapes differ):
+#   v1: one dot per (i, j) slice pair — measured ~2% of bf16 peak.
+#   v2: chunks sublane-stacked, matrix slices lane-stacked — one (sx*rb, K) @
+#       (K, sm*L) dot per component pair.  K = N = 64 pads to the 128-wide
+#       MXU: ds-oz 64^3 measured 3.77 evals/s.
+#   v3 (current): chunks lane-concatenated, matrix as a block-Toeplitz stack
+#       (see _toeplitz_mats) so each Ozaki level is one column block of a
+#       K = split*N / sx*N dot: 4.24 evals/s, bit-identical to v2.
+
+#: v3 column split: levels d < _SPLIT need only the first _SPLIT chunk
+#: blocks, so they contract at K = _SPLIT*Nk; levels d >= _SPLIT use all
+#: sx chunk blocks.  4 reproduces v2's FLOP count exactly.
+_SPLIT = 4
+
+
+def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
+    """Block-Toeplitz lane layouts for the v3 kernel dots.
+
+    ``B[i*K:(i+1)*K, d*L:(d+1)*L] = m[d - i]`` (zero block when out of
+    range): a dot of lane-concatenated chunks ``[x_0 .. x_{sx-1}]`` against
+    ``B`` yields every retained level ``d`` as its ``d``-th column block —
+    the same exact pair sums the v2 tile loop assembles, in one MXU pass.
+    Returns ``(sx_eff, split, (blo_re, blo_im), (bhi_re, bhi_im) | None)``;
+    the low dot covers levels ``d < split`` (only chunks ``i < split`` can
+    contribute there), the high dot the rest with all chunks.
+    """
+    sm, k, ell = m.re.shape
+    nlev = cmax + 1
+    sx_eff = min(sx, nlev)  # chunks with i > cmax never reach the fold
+    split = min(_SPLIT, nlev, sx_eff)
+
+    def build(comp, n_i, d0, d1):
+        zero = jnp.zeros((k, ell), comp.dtype)
+        rows = [
+            jnp.concatenate(
+                [comp[d - i] if 0 <= d - i < sm else zero for d in range(d0, d1)],
+                axis=1,
+            )
+            for i in range(n_i)
+        ]
+        return jnp.concatenate(rows, axis=0)
+
+    blo = (build(m.re, split, 0, split), build(m.im, split, 0, split))
+    bhi = (
+        (build(m.re, sx_eff, split, nlev), build(m.im, sx_eff, split, nlev))
+        if nlev > split
+        else None
+    )
+    return sx_eff, split, blo, bhi
+
+
+def _oz_contract_kernel_v3(
+    *refs, w, sx, split, ell, nlev, sm, pin, real_in=False, real_out=False,
+    phase=False, conj=False, has_hi=True,
 ):
-    """v2 layout: the ``sx`` chunks stack on the SUBLANE axis and the ``sm``
-    matrix slices on the LANE axis, so each (component-pair) product is ONE
-    big MXU dot — (sx*rb, K) @ (K, sm*L) — instead of ~36 tiny ones (the v1
-    per-pair dots measured ~2% of bf16 peak; the stacked dot computes all
-    sx*sm pairs, ~1.5x the needed FLOPs, at far better MXU efficiency).
-    Level d then sums the output tiles [i*rb, j*L] with i+j=d (f32 adds of a
-    shared power-of-two unit: exact) before the compensated fold."""
+    """v3 layout: chunks lane-concatenated, block-Toeplitz matrix (see
+    the layout-history note above).  Same slice extraction, same exact level
+    values, same compensated fold order as v2 — bit-identical outputs."""
+    n_mats = (2 if has_hi else 1) * 2
     if phase:
-        # fused diagonal-phase prologue: t = phase * x computed in-register
-        # from the raw input rows + per-node phase vectors; slicing scales
-        # are derived in-kernel from t (no sig operands, no materialized t)
         (xrh_ref, xrl_ref, xih_ref, xil_ref,
-         prh_ref, prl_ref, pih_ref, pil_ref,
-         mre_ref, mim_ref, orh_ref, orl_ref, oih_ref, oil_ref) = refs
+         prh_ref, prl_ref, pih_ref, pil_ref) = refs[:8]
+        mats = refs[8:8 + n_mats]
+        outs = refs[8 + n_mats:]
         sr_ref = si_ref = None
     elif real_in:
-        # imaginary input planes are exactly zero and are not shipped at all
-        (sr_ref, xrh_ref, xrl_ref, mre_ref, mim_ref,
-         orh_ref, orl_ref, oih_ref, oil_ref) = refs
+        (sr_ref, xrh_ref, xrl_ref) = refs[:3]
+        mats = refs[3:3 + n_mats]
+        outs = refs[3 + n_mats:]
         si_ref = xih_ref = xil_ref = None
     else:
-        (sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref,
-         mre_ref, mim_ref, orh_ref, orl_ref, oih_ref, oil_ref) = refs
+        (sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:6]
+        mats = refs[6:6 + n_mats]
+        outs = refs[6 + n_mats:]
+    if has_hi:
+        blo_re_ref, blo_im_ref, bhi_re_ref, bhi_im_ref = mats
+    else:
+        blo_re_ref, blo_im_ref = mats
+        bhi_re_ref = bhi_im_ref = None
+    orh_ref, orl_ref, oih_ref, oil_ref = outs
     rb = xrh_ref.shape[0]
     opq = _opaque if pin else (lambda v: v)
 
@@ -335,11 +391,10 @@ def _oz_contract_kernel(
             out.append(c.astype(jnp.bfloat16))
             r_hi = opq(r_hi - c)  # exact
             r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
-        return jnp.concatenate(out, axis=0)  # (sx*rb, K)
+        # low levels contract against chunks i < split only
+        return jnp.concatenate(out[:split], axis=1), jnp.concatenate(out, axis=1)
 
     if phase:
-        # phase blocks ship 8 replicated sublane rows (Mosaic's minimum
-        # sublane block); row 0 broadcasts against the (rb, K) input block
         ph = (
             (prh_ref[0:1, :], prl_ref[0:1, :]),
             (pih_ref[0:1, :], pil_ref[0:1, :]),
@@ -352,62 +407,38 @@ def _oz_contract_kernel(
     else:
         cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
         ci = None if real_in else slices(xih_ref[:], xil_ref[:], si_ref[:])
-    mre, mim = mre_ref[:], mim_ref[:]
 
-    # trim the stacked dot: pairs with i + j > cmax never enter the fold, so
-    # high chunks (i >= LOW) only need the first cmax+1-LOW matrix slices —
-    # two dots per component instead of one full (sx, sm) rectangle
-    low = min(4, sx)
-    lo_j = min(sm, cmax + 1)
-    hi_j = min(sm, max(cmax + 1 - low, 0)) if sx > low else 0
-
-    def products(chunks, mat):
-        p_lo = jnp.dot(
-            chunks[: low * rb, :], mat[:, : lo_j * ell],
-            preferred_element_type=jnp.float32,
-        )
+    def level_tiles(chunks, b_lo_ref, b_hi_ref):
+        c_lo, c_all = chunks
+        p_lo = jnp.dot(c_lo, b_lo_ref[:], preferred_element_type=jnp.float32)
         p_hi = (
-            jnp.dot(
-                chunks[low * rb:, :], mat[:, : hi_j * ell],
-                preferred_element_type=jnp.float32,
-            )
-            if hi_j
+            jnp.dot(c_all, b_hi_ref[:], preferred_element_type=jnp.float32)
+            if b_hi_ref is not None
             else None
         )
 
-        def tile(i, j):
-            if i < low:
-                if j >= lo_j:
-                    return None
-                return p_lo[i * rb:(i + 1) * rb, j * ell:(j + 1) * ell]
-            if p_hi is None or j >= hi_j:
+        def tile(d):
+            if d < split:
+                return p_lo[:, d * ell:(d + 1) * ell]
+            if p_hi is None:
                 return None
-            return p_hi[(i - low) * rb:(i - low + 1) * rb, j * ell:(j + 1) * ell]
+            return p_hi[:, (d - split) * ell:(d - split + 1) * ell]
 
         return tile
 
     reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
-    # products sequentially (bounds live VMEM to one stacked product pair);
-    # real_in drops the ci groups, real_out the im-destined groups
-    groups = [(cr, mre, 1.0, "re")]
+    groups = [(cr, blo_re_ref, bhi_re_ref, 1.0, "re")]
     if not real_in:
-        groups.append((ci, mim, -1.0, "re"))
+        groups.append((ci, blo_im_ref, bhi_im_ref, -1.0, "re"))
     if not real_out:
-        groups.append((cr, mim, 1.0, "im"))
+        groups.append((cr, blo_im_ref, bhi_im_ref, 1.0, "im"))
         if not real_in:
-            groups.append((ci, mre, 1.0, "im"))
-    for chunks, mat, sgn, which in groups:
-        tile = products(chunks, mat)
-        for d in range(cmax + 1):
-            acc = None
-            for i in range(min(d, sx - 1), -1, -1):
-                j = d - i
-                if j >= sm:
-                    continue
-                t = tile(i, j)
-                if t is None:
-                    continue
-                acc = t if acc is None else acc + t  # exact (shared unit)
+            groups.append((ci, blo_re_ref, bhi_re_ref, 1.0, "im"))
+    n_fold = min(nlev, sx + sm - 1)  # levels past sx+sm-2 have no pairs
+    for chunks, b_lo, b_hi, sgn, which in groups:
+        tile = level_tiles(chunks, b_lo, b_hi)
+        for d in range(n_fold):
+            acc = tile(d)
             if acc is None:
                 continue
             if sgn < 0:
@@ -443,7 +474,7 @@ def _oz_contract_v2_jnp(
     sig_r, sig_i, xrh, xrl, xih, xil, m_re, m_im, *, w, sx, sm, ell, cmax,
     real_in=False, real_out=False,
 ):
-    """Pure-jnp twin of ``_oz_contract_kernel`` for non-TPU backends.
+    """Pure-jnp twin of ``_oz_contract_kernel_v3`` for non-TPU backends.
 
     Same math, explicit f32 dots (exact for the chunk values by
     construction), EFT intermediates pinned.  This is the interpret path:
@@ -569,34 +600,35 @@ def contract_last_oz_kernel(
         reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
         return CDS(DS(reh, rel), DS(imh, iml))
 
-    # lane-stack the matrix slices: (sm, K, L) -> (K, sm*L), col j*L+l
-    m_all = lambda a: jnp.swapaxes(a, 0, 1).reshape(k, sm * ell)
-
     row_spec = lambda width: pl.BlockSpec((rb, width), lambda i: (i, 0))
-    m_spec = pl.BlockSpec((k, sm * ell), lambda i: (0, 0))
     if real_in:
-        in_specs = [row_spec(1), row_spec(k), row_spec(k), m_spec, m_spec]
-        operands = (sig_r, xrh, xrl, m_all(m.re), m_all(m.im))
+        in_specs = [row_spec(1), row_spec(k), row_spec(k)]
+        operands = [sig_r, xrh, xrl]
     else:
         in_specs = [
             row_spec(1), row_spec(1),
             row_spec(k), row_spec(k), row_spec(k), row_spec(k),
-            m_spec, m_spec,
         ]
-        operands = (sig_r, sig_i, xrh, xrl, xih, xil,
-                    m_all(m.re), m_all(m.im))
+        operands = [sig_r, sig_i, xrh, xrl, xih, xil]
+    sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
+    mats = list(blo) + (list(bhi) if bhi is not None else [])
+    kern = partial(
+        _oz_contract_kernel_v3,
+        w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
+        pin=interpret, real_in=real_in, real_out=real_out,
+        has_hi=bhi is not None,
+    )
+    mat_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats
+    ]
     out = pl.pallas_call(
-        partial(
-            _oz_contract_kernel,
-            w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
-            pin=interpret, real_in=real_in, real_out=real_out,
-        ),
+        kern,
         grid=(rows // rb,),
-        in_specs=in_specs,
+        in_specs=in_specs + mat_specs,
         out_specs=[row_spec(ell)] * 4,
         out_shape=[jax.ShapeDtypeStruct((rows, ell), jnp.float32)] * 4,
         interpret=interpret,
-    )(*operands)
+    )(*operands, *mats)
     reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
 
@@ -645,19 +677,21 @@ def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
     else:
         x_spec = pl.BlockSpec((rb, k), lambda i: (i, 0))
     p_spec = pl.BlockSpec((8, k), lambda i, _b=bpn_out: (i // _b, 0))
-    m_all = lambda a: jnp.swapaxes(a, 0, 1).reshape(k, sm * ell)
-    m_spec = pl.BlockSpec((k, sm * ell), lambda i: (0, 0))
     out_spec = pl.BlockSpec((rb, ell), lambda i: (i, 0))
+    sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
+    mats = list(blo) + (list(bhi) if bhi is not None else [])
+    kern = partial(
+        _oz_contract_kernel_v3,
+        w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
+        pin=False, phase=True, conj=conj, has_hi=bhi is not None,
+    )
+    mat_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats]
     # 8 replicated sublane rows per node (Mosaic minimum sublane block)
     p32 = lambda a: jnp.repeat(a.astype(jnp.float32), 8, axis=0)
     out = pl.pallas_call(
-        partial(
-            _oz_contract_kernel,
-            w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
-            pin=False, phase=True, conj=conj,
-        ),
+        kern,
         grid=(rows_out // rb,),
-        in_specs=[x_spec] * 4 + [p_spec] * 4 + [m_spec, m_spec],
+        in_specs=[x_spec] * 4 + [p_spec] * 4 + mat_specs,
         out_specs=[out_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((rows_out, ell), jnp.float32)] * 4,
         interpret=False,
@@ -665,9 +699,105 @@ def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
         xrh, xrl, xih, xil,
         p32(phase.re.hi), p32(phase.re.lo),
         p32(phase.im.hi), p32(phase.im.lo),
-        m_all(m.re), m_all(m.im),
+        *mats,
     )
     reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
+    return CDS(DS(reh, rel), DS(imh, iml))
+
+
+def _hadamard_wsum_jnp(g1: CDS, g2: CDS, w: DS) -> CDS:
+    """Staged (pinned-EFT) twin of the fused Hadamard kernel: the exact op
+    sequence collide_ds used before the kernel existed."""
+    h = ds.cmul(g1, g2)
+    s = None
+    for j in range(h.re.hi.shape[0]):
+        term = ds.cmul_ds(
+            jax.tree.map(lambda a: a[j], h), jax.tree.map(lambda a: a[j], w)
+        )
+        s = term if s is None else ds.cadd(s, term)
+    return s
+
+
+def _hadamard_wsum_kernel(
+    g1rh, g1rl, g1ih, g1il, g2rh, g2rl, g2ih, g2il, wh_ref, wl_ref,
+    orh, orl, oih, oil,
+):
+    """One VMEM pass of ``out += w_j * (g1_j . g2_j)`` (node j = grid dim 1).
+
+    Same ds algebra as the staged twin (cmul -> cmul_ds -> cadd), evaluated
+    in-register; the node axis accumulates via output-block revisiting (node
+    is the innermost grid dimension, so each output block stays resident
+    across all nodes).  The per-node weight rides in SMEM and multiplies as
+    a scalar splat (vector (1,1)->(bm,L) broadcasts don't lower)."""
+    j = pl.program_id(1)
+    opq = lambda v: v  # Mosaic emits the EFTs as written; no pinning needed
+    rr = _k_mul(g1rh[0], g1rl[0], g2rh[0], g2rl[0], opq)
+    ii = _k_mul(g1ih[0], g1il[0], g2ih[0], g2il[0], opq)
+    ri = _k_mul(g1rh[0], g1rl[0], g2ih[0], g2il[0], opq)
+    ir = _k_mul(g1ih[0], g1il[0], g2rh[0], g2rl[0], opq)
+    hre = _k_ds_sub(rr[0], rr[1], ii[0], ii[1], opq)
+    him = _k_ds_add(ri[0], ri[1], ir[0], ir[1], opq)
+    wh = wh_ref[j]
+    wl = wl_ref[j]
+    tre = _k_mul(hre[0], hre[1], wh, wl, opq)
+    tim = _k_mul(him[0], him[1], wh, wl, opq)
+
+    @pl.when(j == 0)
+    def _():
+        orh[:], orl[:] = tre
+        oih[:], oil[:] = tim
+
+    @pl.when(j > 0)
+    def _():
+        rh, rl = _k_ds_add(orh[:], orl[:], tre[0], tre[1], opq)
+        ih, il = _k_ds_add(oih[:], oil[:], tim[0], tim[1], opq)
+        orh[:], orl[:] = rh, rl
+        oih[:], oil[:] = ih, il
+
+
+def hadamard_wsum(
+    g1: CDS, g2: CDS, w: DS, kernel: Optional[bool] = None
+) -> CDS:
+    """``sum_j w[j] * (g1[j] . g2[j])`` over the leading node axis.
+
+    The collision pipeline's Hadamard product and weighted group sum
+    (reference: ``FFTWBoltzmannOperator.cpp:233-273``) in one fused pass —
+    staged, these are ~10 pinned elementwise ds ops each materializing an
+    HBM-sized intermediate; fused, the traffic is one read of g1/g2 and one
+    ds write of the sum.  ``w`` holds the per-node quadrature weights
+    (leading axis matching g1/g2).  ``kernel=None`` auto-selects the Pallas
+    kernel on TPU, the pinned staged twin elsewhere (same op sequence)."""
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
+    c = g1.re.hi.shape[0]
+    grid_shape = g1.re.hi.shape[1:]
+    r = int(np.prod(grid_shape))
+    lanes = next((l for l in (1024, 512, 256, 128) if r % l == 0), None)
+    if not kernel or lanes is None or (r // lanes) % 8:
+        return _hadamard_wsum_jnp(g1, g2, w)
+    rows = r // lanes
+    # 12 live (bm, lanes) f32 blocks + double buffering must fit the 16 MB
+    # scoped-VMEM budget: bm=128/lanes=1024 is ~12 MB peak
+    bm = next(b for b in (128, 64, 32, 16, 8) if rows % b == 0)
+    flat = lambda a: a.reshape(c, rows, lanes).astype(jnp.float32)
+    g_spec = pl.BlockSpec((1, bm, lanes), lambda i, j: (j, i, 0))
+    # per-node ds weight as whole-array SMEM scalars, indexed by program_id
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    o_spec = pl.BlockSpec((bm, lanes), lambda i, j: (i, 0))
+    out = pl.pallas_call(
+        _hadamard_wsum_kernel,
+        grid=(rows // bm, c),
+        in_specs=[g_spec] * 8 + [w_spec] * 2,
+        out_specs=[o_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 4,
+    )(
+        flat(g1.re.hi), flat(g1.re.lo), flat(g1.im.hi), flat(g1.im.lo),
+        flat(g2.re.hi), flat(g2.re.lo), flat(g2.im.hi), flat(g2.im.lo),
+        w.hi.astype(jnp.float32), w.lo.astype(jnp.float32),
+    )
+    reh, rel, imh, iml = (a.reshape(grid_shape) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
 
 
