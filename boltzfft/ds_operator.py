@@ -61,6 +61,14 @@ class DsPrecomp(NamedTuple):
     vinv: CDS  # (N, N) 1/N-normalized inverse DFT matrix (or tuple)
     vfwd_sl: oz.CSlicedMatrix  # bf16 mantissa slices for contract="oz" (or tuple)
     vinv_sl: oz.CSlicedMatrix
+    # Phase-folded per-node inverse matrices for the oz engines (None when
+    # built with node_mats=False): (mx, my, mz) tuples of slice_matrix_nodes
+    # tables (n_gl, ns, sm, N_axis, N_axis) holding diag(alpha_axis) @ Vinv
+    # (pm1: the g1 stream) and diag(conj(alpha_axis)) @ Vinv (pm2: g2).  The
+    # phases are static quadrature tables, so folding them into the matrices
+    # on the host removes the kernel's ds phase prologue entirely.
+    pm1: Optional[tuple] = None
+    pm2: Optional[tuple] = None
 
 
 _UPLOAD_SLICE_BYTES = 4 << 20  # remote-TPU tunnels choke on large one-shot H2D
@@ -91,13 +99,20 @@ def _from_f64_chunked(a: np.ndarray, dtype=np.float32) -> DS:
     return DS(up(hi), up(lo))
 
 
-def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
+def build_ds_precomp(
+    cfg: CollisionConfig, dtype=np.float32, node_mats: bool = True
+) -> DsPrecomp:
     """All host math in float64, split exactly into ds pairs of ``dtype``.
 
     Anisotropic grids (``nvy``/``nvz`` != ``nv``, mirroring the reference
     operator's ``Nvx, Nvy, Nvz`` constructor, ``FFTWBoltzmannOperator.hpp:32``)
     get per-axis mode tables and per-axis DFT matrices; the ``vfwd``/``vinv``
-    fields then hold (mx, my, mz) tuples instead of one shared matrix."""
+    fields then hold (mx, my, mz) tuples instead of one shared matrix.
+
+    ``node_mats=True`` additionally builds the phase-folded per-node inverse
+    matrices (``pm1``/``pm2``) the oz engines contract with — ~2 * 3 * sm *
+    B * N^2 bf16 of device tables (302 MB at 64^3/Ns=12; skip for the vpu
+    engine on memory-tight configs with ``node_mats=False``)."""
     nx, ny, nz = cfg.grid_shape
     length = cfg.domain_length
 
@@ -111,12 +126,15 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
     ]  # full c2c mode order, per axis
     coef = -np.pi / (2.0 * length)
     # phase[r, s, l] = coef * rho_r * sigma_s[axis] * l
-    def axis_phase(axis):
+    def axis_phase_c128(axis):
         ph = (
             coef * rho[:, None, None] * sigma[None, :, axis, None]
             * modes[axis][None, None, :]
         )
-        return ds.cds_from_f64(np.exp(1j * ph), dtype)
+        return np.exp(1j * ph)
+
+    def axis_phase(axis):
+        return ds.cds_from_f64(axis_phase_c128(axis), dtype)
 
     gain_w = (
         (gl.weights * rho ** (cfg.gamma + 2.0))[:, None] * sph.weights[None, :]
@@ -139,18 +157,34 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
         ph = 2.0 * np.pi * np.outer(m, m) / n
         return np.exp(-1j * ph), np.exp(1j * ph) / n
 
+    slw, slm, _ = _pipeline_slicing(cfg)
     pairs = [dft_pair(n) for n in (nx, ny, nz)]
     if cfg.is_isotropic:
         vfwd64, vinv64 = pairs[0]
         vfwd = ds.cds_from_f64(vfwd64, dtype)
         vinv = ds.cds_from_f64(vinv64, dtype)
-        vfwd_sl = oz.slice_matrix(vfwd64)
-        vinv_sl = oz.slice_matrix(vinv64)
+        vfwd_sl = oz.slice_matrix(vfwd64, slm, slw)
+        vinv_sl = oz.slice_matrix(vinv64, slm, slw)
     else:
         vfwd = tuple(ds.cds_from_f64(p[0], dtype) for p in pairs)
         vinv = tuple(ds.cds_from_f64(p[1], dtype) for p in pairs)
-        vfwd_sl = tuple(oz.slice_matrix(p[0]) for p in pairs)
-        vinv_sl = tuple(oz.slice_matrix(p[1]) for p in pairs)
+        vfwd_sl = tuple(oz.slice_matrix(p[0], slm, slw) for p in pairs)
+        vinv_sl = tuple(oz.slice_matrix(p[1], slm, slw) for p in pairs)
+    pm1 = pm2 = None
+    if node_mats:
+        # diag(alpha_axis[r, s]) @ Vinv_axis, host f64, sliced per node — the
+        # oz engines contract with these instead of phasing in-kernel
+        def folded(axis):
+            p = axis_phase_c128(axis)[..., :, None]  # (n_gl, ns, N, 1)
+            vinv64 = pairs[axis][1]
+            return (
+                oz.slice_matrix_nodes(p * vinv64[None, None], slm, slw),
+                oz.slice_matrix_nodes(np.conj(p) * vinv64[None, None], slm, slw),
+            )
+
+        fx, fy, fz = folded(0), folded(1), folded(2)
+        pm1 = (fx[0], fy[0], fz[0])
+        pm2 = (fx[1], fy[1], fz[1])
     return DsPrecomp(
         ax=axis_phase(0),
         ay=axis_phase(1),
@@ -162,6 +196,8 @@ def build_ds_precomp(cfg: CollisionConfig, dtype=np.float32) -> DsPrecomp:
         vinv=vinv,
         vfwd_sl=vfwd_sl,
         vinv_sl=vinv_sl,
+        pm1=pm1,
+        pm2=pm2,
     )
 
 
@@ -170,12 +206,33 @@ def _cindex(x, idx):
     return jax.tree.map(lambda a: a[idx], x)
 
 
-#: Ozaki slice-pair retention for the ds *pipeline* (vs oz.DEFAULT_CMAX=7 for
-#: the generic contraction API).  TPU-measured at 64^3/Ns=12: cmax=6 keeps
-#: every reference digit (Linf 3.0689e-12, L2 8.3092e-12) at 1.16x the
-#: cmax=7 speed; cmax=5 reaches 1.27x more at Linf 3.11e-12 (last-digit
-#: drift); cmax=4 degrades to 1.6e-11.  See docs/PERFORMANCE.md.
+#: Ozaki slice-pair retention for the ds pipeline at the w=7 chunk width
+#: (see _pipeline_slicing for the measured retention/width ladder).
 DS_PIPELINE_CMAX = 6
+
+#: Fold-tail pre-summing for the pipeline: None = exact all-ds fold.
+#: Measured: a fold_tail=4 f32 tail pre-sum rounds at ~2^-47 of the output
+#: scale (a few ulps at the tail level on elements below the row scale) —
+#: too close to the 2^-49 ds floor for the digit-parity claim, and at
+#: w=8/cmax=5 it saves only 1 of 6 folds.  Kept as an opt-in knob on the
+#: oz contraction API.
+DS_PIPELINE_FOLD_TAIL = None
+
+
+def _pipeline_slicing(cfg: CollisionConfig):
+    """Ozaki slicing parameters for the ds pipeline: ``(w, nslices_m,
+    default_cmax)``.
+
+    Measured dead end (do not redo): ``w=8`` chunks (full bf16 mantissa,
+    ``cmax=5``, 25% fewer slice-pair MACs) reach 4.92 evals/s at 64^3/Ns=12
+    — but the first DROPPED level's pair values are ``~2^{-w(cmax+1)-2}``
+    each (7 pairs ~ 2^-47 of scale at w=8/cmax=5), which moved the BKW
+    Linf print from 3.0689e-12 to 3.0701e-12.  Digit-safe retention at w=8
+    is cmax=6, whose Toeplitz FLOP count equals w=7/cmax=6 exactly — no
+    win.  w=7/cmax=6's dropped level 7 is ``8 * 2^-51 ~ 2^-48``, measured
+    just under the printed-digit cliff (3.0689 vs the vpu engine's 3.0686).
+    """
+    return 7, 8, 6
 
 
 def collide_ds(
@@ -209,16 +266,26 @@ def collide_ds(
     operator passes the compensated cross-device fold here.
 
     ``oz_cmax`` (oz/ozk engines): Ozaki slice-pair retention level, default
-    :data:`DS_PIPELINE_CMAX` — the measured speed/accuracy ladder is in its
-    docstring; the ``vpu`` engine ignores it.
+    from :func:`_pipeline_slicing` (cmax=6 at w=7).  The measured ladder at
+    64^3/Ns=12: cmax=6 keeps every reference digit (Linf 3.0689e-12),
+    cmax=5 drifts the print (3.11e-12), cmax=4 degrades to 1.6e-11.  The
+    ``vpu`` engine ignores it.
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
-    cmax = DS_PIPELINE_CMAX if oz_cmax is None else oz_cmax
+    slw, _, cmax_def = _pipeline_slicing(cfg)
+    cmax = cmax_def if oz_cmax is None else oz_cmax
+    ftail = DS_PIPELINE_FOLD_TAIL
     if contract in ("oz", "ozk"):
         kern = True if contract == "ozk" else None
-        tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl, kernel=kern, cmax=cmax)
-        tf_inv = partial(oz.transform3_oz, m=pre.vinv_sl, kernel=kern, cmax=cmax)
+        tf_fwd = partial(
+            oz.transform3_oz, m=pre.vfwd_sl, kernel=kern, cmax=cmax,
+            w=slw, fold_tail=ftail,
+        )
+        tf_inv = partial(
+            oz.transform3_oz, m=pre.vinv_sl, kernel=kern, cmax=cmax,
+            w=slw, fold_tail=ftail,
+        )
     elif contract == "vpu":
         tf_fwd = partial(ds.transform3, m=pre.vfwd)
         tf_inv = partial(ds.transform3, m=pre.vinv)
@@ -245,20 +312,36 @@ def collide_ds(
     # eval — disappear entirely.  The vpu reference engine keeps the
     # explicit a1/cmul_both formulation (bit-reference path).
     phased = contract in ("oz", "ozk")
+    nodemat = phased and pre.pm1 is not None
     kern = True if contract == "ozk" else None
 
     def group(acc, xs):
-        ax, ay, az, gw, b1 = xs  # per-radial-group table slices
+        if nodemat:
+            gw, b1, pm1, pm2 = xs  # per-radial-group table slices
+        else:
+            ax, ay, az, gw, b1 = xs
         s = None
         for j0 in range(0, ns, sb):
             sl = slice(j0, min(j0 + sb, ns))
-            if phased:
+            if nodemat:
+                # phase-folded per-node matrices: zero in-kernel phase math
+                m1 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm1)
+                m2 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm2)
+                g1 = oz.transform3_oz_nodemat(
+                    f_hat, m1, kernel=kern, cmax=cmax, w=slw, fold_tail=ftail
+                )
+                g2 = oz.transform3_oz_nodemat(
+                    f_hat, m2, kernel=kern, cmax=cmax, w=slw, fold_tail=ftail
+                )
+            elif phased:
                 ph = (_cindex(ax, sl), _cindex(ay, sl), _cindex(az, sl))
                 g1 = oz.transform3_oz_phased(
-                    f_hat, pre.vinv_sl, ph, conj=False, kernel=kern, cmax=cmax
+                    f_hat, pre.vinv_sl, ph, conj=False, kernel=kern,
+                    cmax=cmax, w=slw, fold_tail=ftail,
                 )
                 g2 = oz.transform3_oz_phased(
-                    f_hat, pre.vinv_sl, ph, conj=True, kernel=kern, cmax=cmax
+                    f_hat, pre.vinv_sl, ph, conj=True, kernel=kern,
+                    cmax=cmax, w=slw, fold_tail=ftail,
                 )
             else:
                 # a1[s, x, y, z] = ax[s, x] * ay[s, y] * az[s, z]
@@ -289,9 +372,12 @@ def collide_ds(
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
     acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
-    q_gain_hat, _ = jax.lax.scan(
-        group, acc0, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
+    xs = (
+        (pre.gain_w, pre.beta1, pre.pm1, pre.pm2)
+        if nodemat
+        else (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
     )
+    q_gain_hat, _ = jax.lax.scan(group, acc0, xs)
     if gain_reduce is not None:
         q_gain_hat = gain_reduce(q_gain_hat)
 
@@ -354,10 +440,13 @@ def _pad_radial(pre: DsPrecomp, n_groups: int) -> DsPrecomp:
         width = [(0, n_groups - have)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, width)
 
-    padded = jax.tree.map(pad, (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1))
+    padded = jax.tree.map(
+        pad,
+        (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1, pre.pm1, pre.pm2),
+    )
     return pre._replace(
         ax=padded[0], ay=padded[1], az=padded[2],
-        gain_w=padded[3], beta1=padded[4],
+        gain_w=padded[3], beta1=padded[4], pm1=padded[5], pm2=padded[6],
     )
 
 
@@ -371,6 +460,7 @@ def _ds_precomp_specs(radial_axis: Optional[str]):
     return DsPrecomp(
         ax=shard, ay=shard, az=shard, gain_w=shard, beta1=shard,
         beta2=rep, vfwd=rep, vinv=rep, vfwd_sl=rep, vinv_sl=rep,
+        pm1=shard, pm2=shard,
     )
 
 

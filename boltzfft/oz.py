@@ -89,6 +89,24 @@ def slice_matrix(
     )
 
 
+def slice_matrix_nodes(
+    m: np.ndarray, nslices: int = DEFAULT_SLICES_M, w: int = DEFAULT_W
+) -> CSlicedMatrix:
+    """Host-split a batch of per-node matrices ``(..., K, L)``.
+
+    Returns slices with the slice axis INSIDE the batch axes —
+    ``re/im: (..., nslices, K, L)`` — so the leading node axes stay leading
+    (scannable / sub-batch sliceable).  One global power-of-two scale across
+    the batch (the phase-folded matrices all share the base matrix's
+    magnitude, so per-node scales would buy < 1 bit of the 56-bit depth)."""
+    m = np.asarray(m)
+    sl = lambda comp: np.moveaxis(_host_slices(comp, nslices, w), 0, -3)
+    return CSlicedMatrix(
+        re=jnp.asarray(sl(m.real), jnp.bfloat16),
+        im=jnp.asarray(sl(m.imag), jnp.bfloat16),
+    )
+
+
 def _pow2_ceil(a: jnp.ndarray) -> jnp.ndarray:
     """Smallest power of two >= a (elementwise, a >= 0), via exponent bits.
 
@@ -180,6 +198,7 @@ def _fold_levels(a: list, b: list, sign_b: float) -> DS:
 def contract_last_oz(
     x: CDS, m: CSlicedMatrix, cmax: int = DEFAULT_CMAX, w: int = DEFAULT_W,
     real_in: bool = False, real_out: bool = False,
+    fold_tail: Optional[int] = None,
 ) -> CDS:
     """``out[..., l] = sum_k x[..., k] * m[k, l]`` — ds accuracy, MXU speed.
 
@@ -198,6 +217,19 @@ def contract_last_oz(
         xi = slice_ds_last(x.im, w=w)
         ii = _level_dots(xi, m.im, cmax)
         ir = [] if real_out else _level_dots(xi, m.re, cmax)
+    if fold_tail is not None:
+        # collapse levels >= fold_tail with plain f32 adds before the
+        # compensated fold (see contract_last_oz_kernel's fold_tail note)
+        def collapse(levels):
+            ft = max(1, fold_tail)
+            if levels is None or len(levels) <= ft + 1:
+                return levels
+            tail = levels[ft]
+            for t in levels[ft + 1:]:
+                tail = _opaque(tail + t)
+            return levels[:ft] + [tail]
+
+        rr, ri, ii, ir = (collapse(v) for v in (rr, ri, ii, ir))
     re = _fold_levels(rr, ii, -1.0)
     if real_out:
         z = ds.DS(jnp.zeros_like(re.hi), jnp.zeros_like(re.lo))
@@ -324,22 +356,30 @@ def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
     Returns ``(sx_eff, split, (blo_re, blo_im), (bhi_re, bhi_im) | None)``;
     the low dot covers levels ``d < split`` (only chunks ``i < split`` can
     contribute there), the high dot the rest with all chunks.
+
+    ``m`` may carry leading node axes (``slice_matrix_nodes`` layout,
+    ``(..., sm, K, L)``): the Toeplitz assembly then applies per node and the
+    outputs keep the leading axes.
     """
-    sm, k, ell = m.re.shape
+    sm, k, ell = m.re.shape[-3:]
+    lead = m.re.shape[:-3]
     nlev = cmax + 1
     sx_eff = min(sx, nlev)  # chunks with i > cmax never reach the fold
     split = min(_SPLIT, nlev, sx_eff)
 
     def build(comp, n_i, d0, d1):
-        zero = jnp.zeros((k, ell), comp.dtype)
+        zero = jnp.zeros(lead + (k, ell), comp.dtype)
         rows = [
             jnp.concatenate(
-                [comp[d - i] if 0 <= d - i < sm else zero for d in range(d0, d1)],
-                axis=1,
+                [
+                    comp[..., d - i, :, :] if 0 <= d - i < sm else zero
+                    for d in range(d0, d1)
+                ],
+                axis=-1,
             )
             for i in range(n_i)
         ]
-        return jnp.concatenate(rows, axis=0)
+        return jnp.concatenate(rows, axis=-2)
 
     blo = (build(m.re, split, 0, split), build(m.im, split, 0, split))
     bhi = (
@@ -352,13 +392,20 @@ def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
 
 def _oz_contract_kernel_v3(
     *refs, w, sx, split, ell, nlev, sm, pin, real_in=False, real_out=False,
-    phase=False, conj=False, has_hi=True,
+    phase=False, conj=False, has_hi=True, node_mats=False, fold_tail=None,
 ):
     """v3 layout: chunks lane-concatenated, block-Toeplitz matrix (see
     the layout-history note above).  Same slice extraction, same exact level
     values, same compensated fold order as v2 — bit-identical outputs."""
     n_mats = (2 if has_hi else 1) * 2
-    if phase:
+    if node_mats:
+        # per-node-matrix mode: slicing scales computed in-kernel (an extra
+        # HBM pass to precompute them costs more than the VPU row-max here)
+        (xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:4]
+        mats = refs[4:4 + n_mats]
+        outs = refs[4 + n_mats:]
+        sr_ref = si_ref = None
+    elif phase:
         (xrh_ref, xrl_ref, xih_ref, xil_ref,
          prh_ref, prl_ref, pih_ref, pil_ref) = refs[:8]
         mats = refs[8:8 + n_mats]
@@ -394,7 +441,10 @@ def _oz_contract_kernel_v3(
         # low levels contract against chunks i < split only
         return jnp.concatenate(out[:split], axis=1), jnp.concatenate(out, axis=1)
 
-    if phase:
+    if node_mats:
+        cr = slices(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:]))
+        ci = slices(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:]))
+    elif phase:
         ph = (
             (prh_ref[0:1, :], prl_ref[0:1, :]),
             (pih_ref[0:1, :], pil_ref[0:1, :]),
@@ -410,9 +460,12 @@ def _oz_contract_kernel_v3(
 
     def level_tiles(chunks, b_lo_ref, b_hi_ref):
         c_lo, c_all = chunks
-        p_lo = jnp.dot(c_lo, b_lo_ref[:], preferred_element_type=jnp.float32)
+        # node_mats: per-node matrix blocks arrive with a leading 1 axis
+        # (block-indexed by the node this row block belongs to)
+        mat = (lambda r: r[0]) if node_mats else (lambda r: r[:])
+        p_lo = jnp.dot(c_lo, mat(b_lo_ref), preferred_element_type=jnp.float32)
         p_hi = (
-            jnp.dot(c_all, b_hi_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(c_all, mat(b_hi_ref), preferred_element_type=jnp.float32)
             if b_hi_ref is not None
             else None
         )
@@ -435,11 +488,20 @@ def _oz_contract_kernel_v3(
         if not real_in:
             groups.append((ci, blo_re_ref, bhi_re_ref, 1.0, "im"))
     n_fold = min(nlev, sx + sm - 1)  # levels past sx+sm-2 have no pairs
+    # Levels >= fold_tail are pre-summed in plain f32 before ONE compensated
+    # fold: level d is ~2^-wd of level 0, so the pre-sum rounding is bounded
+    # by ~2^{-24-w*fold_tail} of the level-0 scale — below the ds noise floor
+    # (2^-49) whenever w*fold_tail >= 32.  None = all-ds (exact capture).
+    ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
     for chunks, b_lo, b_hi, sgn, which in groups:
         tile = level_tiles(chunks, b_lo, b_hi)
+        tail = None
         for d in range(n_fold):
             acc = tile(d)
             if acc is None:
+                continue
+            if d >= ft:
+                tail = acc if tail is None else opq(tail + acc)
                 continue
             if sgn < 0:
                 acc = -acc
@@ -447,6 +509,13 @@ def _oz_contract_kernel_v3(
                 reh, rel = _k_add_float(reh, rel, acc, opq)
             else:
                 imh, iml = _k_add_float(imh, iml, acc, opq)
+        if tail is not None:
+            if sgn < 0:
+                tail = -tail
+            if which == "re":
+                reh, rel = _k_add_float(reh, rel, tail, opq)
+            else:
+                imh, iml = _k_add_float(imh, iml, tail, opq)
     orh_ref[:] = reh
     orl_ref[:] = rel
     oih_ref[:] = imh
@@ -472,7 +541,7 @@ def _row_block_in_node(rows_per_node: int) -> int:
 
 def _oz_contract_v2_jnp(
     sig_r, sig_i, xrh, xrl, xih, xil, m_re, m_im, *, w, sx, sm, ell, cmax,
-    real_in=False, real_out=False,
+    real_in=False, real_out=False, fold_tail=None,
 ):
     """Pure-jnp twin of ``_oz_contract_kernel_v3`` for non-TPU backends.
 
@@ -514,8 +583,11 @@ def _oz_contract_v2_jnp(
         groups.append((cr, m_im32, 1.0, "im"))
         if not real_in:
             groups.append((ci, m_re32, 1.0, "im"))
+    n_fold = min(cmax + 1, sx + sm - 1)
+    ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
     for chunks, mat, sgn, which in groups:
-        for d in range(cmax + 1):
+        tail = None
+        for d in range(n_fold):
             acc = None
             for i in range(min(d, sx - 1), -1, -1):
                 j = d - i
@@ -528,6 +600,9 @@ def _oz_contract_v2_jnp(
                 acc = t if acc is None else _opaque(acc + t)
             if acc is None:
                 continue
+            if d >= ft:
+                tail = acc if tail is None else _opaque(tail + acc)
+                continue
             if sgn < 0:
                 acc = -acc
             if which == "re":
@@ -535,6 +610,15 @@ def _oz_contract_v2_jnp(
                 reh, rel = quick_two_sum(s, e + rel)
             else:
                 s, e = two_sum(imh, acc)
+                imh, iml = quick_two_sum(s, e + iml)
+        if tail is not None:
+            if sgn < 0:
+                tail = -tail
+            if which == "re":
+                s, e = two_sum(reh, tail)
+                reh, rel = quick_two_sum(s, e + rel)
+            else:
+                s, e = two_sum(imh, tail)
                 imh, iml = quick_two_sum(s, e + iml)
     return reh, rel, imh, iml
 
@@ -550,8 +634,13 @@ def contract_last_oz_kernel(
     phase: Optional[CDS] = None,
     conj: bool = False,
     repeat: Optional[int] = None,
+    fold_tail: Optional[int] = None,
 ) -> CDS:
     """Fused-kernel version of :func:`contract_last_oz` (same math).
+
+    ``fold_tail``: levels >= this are pre-summed in plain f32 before one
+    compensated fold (bounded ~2^{-24-w*fold_tail} of the output scale —
+    below ds noise for w*fold_tail >= 32); None keeps the all-ds fold.
 
     ``phase``: optional per-node diagonal phase vectors, CDS of shape
     ``(C, K)`` — the contraction computes ``sum_k (phase[node, k] * x[...,
@@ -566,7 +655,8 @@ def contract_last_oz_kernel(
         interpret = jax.default_backend() != "tpu"
     if phase is not None:
         return _phased_contract(
-            x, m, phase, conj, repeat, cmax=cmax, w=w, interpret=interpret
+            x, m, phase, conj, repeat, cmax=cmax, w=w, interpret=interpret,
+            fold_tail=fold_tail,
         )
     assert repeat is None, "repeat requires phase mode"
     shape = x.re.hi.shape
@@ -595,7 +685,7 @@ def contract_last_oz_kernel(
             zz(xrl) if real_in else xil,
             m.re, m.im,
             w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
-            real_in=real_in, real_out=real_out,
+            real_in=real_in, real_out=real_out, fold_tail=fold_tail,
         )
         reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
         return CDS(DS(reh, rel), DS(imh, iml))
@@ -616,7 +706,7 @@ def contract_last_oz_kernel(
         _oz_contract_kernel_v3,
         w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
         pin=interpret, real_in=real_in, real_out=real_out,
-        has_hi=bhi is not None,
+        has_hi=bhi is not None, fold_tail=fold_tail,
     )
     mat_specs = [
         pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats
@@ -633,7 +723,9 @@ def contract_last_oz_kernel(
     return CDS(DS(reh, rel), DS(imh, iml))
 
 
-def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
+def _phased_contract(
+    x, m, phase, conj, repeat, *, cmax, w, interpret, fold_tail=None
+):
     """Diagonal-phase-fused contraction (see contract_last_oz_kernel)."""
     shape = x.re.hi.shape
     k = shape[-1]
@@ -666,6 +758,7 @@ def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
             _phase_sigma(tre[0]), _phase_sigma(tim[0]),
             tre[0], tre[1], tim[0], tim[1], m.re, m.im,
             w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+            fold_tail=fold_tail,
         )
         reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
         return CDS(DS(reh, rel), DS(imh, iml))
@@ -684,6 +777,7 @@ def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
         _oz_contract_kernel_v3,
         w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
         pin=False, phase=True, conj=conj, has_hi=bhi is not None,
+        fold_tail=fold_tail,
     )
     mat_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats]
     # 8 replicated sublane rows per node (Mosaic minimum sublane block)
@@ -703,6 +797,142 @@ def _phased_contract(x, m, phase, conj, repeat, *, cmax, w, interpret):
     )
     reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
+
+
+def contract_last_oz_nodemat(
+    x: CDS,
+    m: CSlicedMatrix,
+    cmax: int = DEFAULT_CMAX,
+    w: int = DEFAULT_W,
+    interpret: Optional[bool] = None,
+    repeat: bool = False,
+    fold_tail: Optional[int] = None,
+) -> CDS:
+    """Per-node-matrix contraction: ``out[c, ..., l] = sum_k x[(c,) ..., k]
+    * m[c, k, l]``.
+
+    ``m`` carries a leading node axis (``slice_matrix_nodes`` layout,
+    ``(C, sm, K, L)``).  With ``repeat=True`` the input ``x`` is one shared
+    ``(..., K)`` operand contracted against every node's matrix (read in
+    place via the block index map); otherwise ``x`` has the matching leading
+    ``(C, ...)`` axis.  This is how the ds pipeline applies the per-node
+    alpha phases: ``diag(alpha_axis) @ Vinv`` is folded into the matrix on
+    the host (static tables), so the kernel runs NO phase arithmetic at all
+    — versus the in-kernel ds phase prologue (``phase=`` mode), which costs
+    ~220 VPU flops per element on what is a VPU-bound kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, sm = m.re.shape[0], m.re.shape[-3]
+    ell = m.re.shape[-1]
+    shape = x.re.hi.shape
+    k = shape[-1]
+    if repeat:
+        rows_pn = int(np.prod(shape[:-1]))
+        out_lead = (c,) + shape[:-1]
+    else:
+        assert shape[0] == c, f"leading axis {shape[0]} != node count {c}"
+        rows_pn = int(np.prod(shape[1:-1]))
+        out_lead = shape[:-1]
+    rows_out = c * rows_pn
+
+    flat = lambda a: a.reshape(-1, k).astype(jnp.float32)
+    xrh, xrl = flat(x.re.hi), flat(x.re.lo)
+    xih, xil = flat(x.im.hi), flat(x.im.lo)
+
+    if interpret:
+        # slicing scales via _phase_sigma, matching the kernel (which
+        # computes them in-kernel) bit-for-bit
+        sig_r = _phase_sigma(xrh)
+        sig_i = _phase_sigma(xih)
+        outs = []
+        for ci in range(c):
+            if repeat:
+                args = (sig_r, sig_i, xrh, xrl, xih, xil)
+            else:
+                sel = slice(ci * rows_pn, (ci + 1) * rows_pn)
+                args = tuple(
+                    a[sel] for a in (sig_r, sig_i, xrh, xrl, xih, xil)
+                )
+            outs.append(
+                _oz_contract_v2_jnp(
+                    *args, m.re[ci], m.im[ci],
+                    w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+                    fold_tail=fold_tail,
+                )
+            )
+        reh, rel, imh, iml = (
+            jnp.concatenate([o[i] for o in outs], axis=0).reshape(
+                out_lead + (ell,)
+            )
+            for i in range(4)
+        )
+        return CDS(DS(reh, rel), DS(imh, iml))
+
+    rb = _row_block(rows_pn)
+    bpn = rows_pn // rb
+    if repeat:
+        x_spec = pl.BlockSpec((rb, k), lambda i, _b=bpn: (i % _b, 0))
+    else:
+        x_spec = pl.BlockSpec((rb, k), lambda i: (i, 0))
+    sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
+    mats = list(blo) + (list(bhi) if bhi is not None else [])
+    mat_specs = [
+        pl.BlockSpec((1,) + a.shape[1:], lambda i, _b=bpn: (i // _b, 0, 0))
+        for a in mats
+    ]
+    out_spec = pl.BlockSpec((rb, ell), lambda i: (i, 0))
+    kern = partial(
+        _oz_contract_kernel_v3,
+        w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
+        pin=False, has_hi=bhi is not None, node_mats=True,
+        fold_tail=fold_tail,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(rows_out // rb,),
+        in_specs=[x_spec, x_spec, x_spec, x_spec] + mat_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows_out, ell), jnp.float32)] * 4,
+        interpret=False,
+    )(xrh, xrl, xih, xil, *mats)
+    reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
+    return CDS(DS(reh, rel), DS(imh, iml))
+
+
+def transform3_oz_nodemat(
+    x: CDS,
+    mats,
+    cmax: int = DEFAULT_CMAX,
+    kernel: Optional[bool] = None,
+    repeat: bool = True,
+    fold_tail: Optional[int] = None,
+    w: int = DEFAULT_W,
+) -> CDS:
+    """``IFFT3(alpha_c . x)`` for a block of nodes with the separable
+    per-axis phases FOLDED INTO per-node transform matrices.
+
+    ``mats`` is an ``(mx, my, mz)`` triple of :func:`slice_matrix_nodes`
+    tables of shape ``(C, sm, N_axis, N_axis)`` holding
+    ``diag(alpha_axis[c]) @ Vinv_axis`` (built on the host — the phases are
+    static quadrature tables, so this costs nothing at eval time).  With
+    ``repeat=True`` (default) ``x`` is the shared ``(Nx, Ny, Nz)`` spectrum;
+    returns ``(C, Nx, Ny, Nz)``.  Successor of
+    :func:`transform3_oz_phased`: identical role, but the kernels run zero
+    phase arithmetic (measured VPU-bound; see docs/PERFORMANCE.md).
+    """
+    mx, my, mz = mats
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
+    interp = None if kernel else True
+    ck = partial(
+        contract_last_oz_nodemat, cmax=cmax, interpret=interp,
+        fold_tail=fold_tail, w=w,
+    )
+    x = ck(x, mz, repeat=repeat)  # z: (C, Nx, Ny, Nz)
+    x = ds._swap_last2(ck(ds._swap_last2(x), my))  # y
+    x = ds._roll_axis(ck(ds._roll_axis(x, -3, -1), mx), -1, -3)  # x
+    return x
 
 
 def _hadamard_wsum_jnp(g1: CDS, g2: CDS, w: DS) -> CDS:
@@ -808,6 +1038,8 @@ def transform3_oz_phased(
     conj: bool = False,
     cmax: int = DEFAULT_CMAX,
     kernel: Optional[bool] = None,
+    w: int = DEFAULT_W,
+    fold_tail: Optional[int] = None,
 ) -> CDS:
     """``IFFT3(alpha_b . f_hat)`` for a block of nodes with the separable
     per-axis phases fused into each axis contraction.
@@ -824,7 +1056,10 @@ def transform3_oz_phased(
     if kernel is None:
         kernel = jax.default_backend() == "tpu"
     interp = None if kernel else True
-    ck = partial(contract_last_oz_kernel, cmax=cmax, interpret=interp)
+    ck = partial(
+        contract_last_oz_kernel, cmax=cmax, interpret=interp, w=w,
+        fold_tail=fold_tail,
+    )
     c = px.re.hi.shape[0]
     # z axis: shared input, repeated per node
     x = ck(f_hat, mz, phase=pz, conj=conj, repeat=c)  # (C, Nx, Ny, Nz)
@@ -844,6 +1079,8 @@ def transform3_oz(
     kernel: Optional[bool] = None,
     real_in: bool = False,
     real_out: bool = False,
+    fold_tail: Optional[int] = None,
+    w: int = DEFAULT_W,
 ) -> CDS:
     """Separable 3-D transform of the trailing (Nx, Ny, Nz) axes with the
     sliced matrix/matrices ``m`` (one :class:`CSlicedMatrix` shared by all
@@ -857,7 +1094,11 @@ def transform3_oz(
     if kernel is None:
         kernel = jax.default_backend() == "tpu"
     # kernel=True off-TPU runs the jnp twin (tests)
-    c = contract_last_oz_kernel if kernel else contract_last_oz
+    c = (
+        partial(contract_last_oz_kernel, fold_tail=fold_tail, w=w)
+        if kernel
+        else partial(contract_last_oz, fold_tail=fold_tail, w=w)
+    )
     x = c(x, mz, cmax, real_in=real_in)  # z
     x = ds._swap_last2(c(ds._swap_last2(x), my, cmax))  # y
     x = ds._roll_axis(

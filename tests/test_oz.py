@@ -227,6 +227,57 @@ class TestPhasedTransform:
         assert np.max(np.abs(g - ref)) / np.max(np.abs(ref)) < 1e-13
 
 
+class TestNodeMatTransform:
+    """transform3_oz_nodemat: phase-folded per-node matrices (the pipeline's
+    production formulation) must match the explicit f64 phase-then-transform
+    reference, including anisotropic axes and both chunk widths."""
+
+    @pytest.mark.parametrize("w,slm", [(7, 8), (8, 7)])
+    def test_matches_explicit_phase(self, rng, w, slm):
+        n, c = 8, 3
+        x64 = rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
+        m = np.exp(2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n) / n
+        ph64 = [np.exp(1j * rng.uniform(-np.pi, np.pi, (c, n))) for _ in range(3)]
+        mats = tuple(
+            oz.slice_matrix_nodes(p[..., :, None] * m[None], slm, w)
+            for p in ph64
+        )
+        got = oz.transform3_oz_nodemat(ds.cds_from_f64(x64), mats, w=w)
+        g = ds.to_f64(got.re) + 1j * ds.to_f64(got.im)
+        a1 = (
+            ph64[0][:, :, None, None]
+            * ph64[1][:, None, :, None]
+            * ph64[2][:, None, None, :]
+        )
+        ref = np.einsum("sxyz,ax,by,cz->sabc", a1 * x64[None], m, m, m)
+        assert g.shape == (c, n, n, n)
+        assert np.max(np.abs(g - ref)) / np.max(np.abs(ref)) < 1e-13
+
+    def test_fold_tail_stays_ds_class(self, rng):
+        # the f32 tail pre-sum must stay below the ds noise floor
+        n, c = 8, 2
+        x64 = rng.standard_normal((c, n, n, n)) * 10.0 ** rng.uniform(
+            -4, 3, (c, n, n, n)
+        ) + 1j * rng.standard_normal((c, n, n, n))
+        m64 = np.stack(
+            [np.exp(1j * rng.uniform(0, 2 * np.pi, (n, n))) / n for _ in range(c)]
+        )
+        x = ds.cds_from_f64(x64)
+        msl = oz.slice_matrix_nodes(m64)
+        full = oz.contract_last_oz_nodemat(x, msl)
+        tail = oz.contract_last_oz_nodemat(x, msl, fold_tail=4)
+        gf = ds.to_f64(full.re) + 1j * ds.to_f64(full.im)
+        gt = ds.to_f64(tail.re) + 1j * ds.to_f64(tail.im)
+        ref = np.einsum("c...k,ckl->c...l", x64, m64)
+        scale = np.max(np.abs(ref))
+        # the f32 tail pre-sum rounds at a few ulps of the tail level —
+        # measured ~2^-47 of the global scale on wide-dynamic-range rows
+        # (which is why the PIPELINE keeps the exact all-ds fold;
+        # ds_operator.DS_PIPELINE_FOLD_TAIL)
+        assert np.max(np.abs(gt - gf)) / scale < 2.0 ** -45
+        assert np.max(np.abs(gt - ref)) / scale < 1e-13
+
+
 class TestAnisotropicDs:
     @pytest.mark.slow
     def test_matches_c2c_f64(self):
