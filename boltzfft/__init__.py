@@ -26,6 +26,7 @@ from .sharding import (
     make_mesh,
     make_sharded_collision_operator,
     place,
+    place_cells,
 )
 from .cache import enable_compilation_cache, load_precomp, save_precomp
 from .checkpoint import RelaxCheckpointer
@@ -86,6 +87,7 @@ __all__ = [
     "make_relaxation",
     "make_sharded_collision_operator",
     "place",
+    "place_cells",
     "relax",
     "repad_nodes",
     "rk2_step",

@@ -153,3 +153,38 @@ def place(
         pre,
         specs,
     )
+
+
+def place_cells(
+    f,
+    mesh: Mesh,
+    x_axis: Optional[str] = None,
+    y_axis: Optional[str] = None,
+):
+    """Device-put a spatially-decomposed distribution with its leading cell
+    axes sharded over mesh axes — the spatial domain decomposition for the
+    1D/2D transport solvers.
+
+    ``f`` is ``(Cx, Nvx, Nvy, Nvz)`` (1D) or ``(Cx, Cy, Nvx, Nvy, Nvz)``
+    (2D); ``x_axis``/``y_axis`` name the mesh axes the spatial cell axes
+    shard over (None = replicate that axis).  The velocity axes are always
+    shard-local — an FFT axis is never sharded (SURVEY §6).
+
+    No solver changes are needed downstream: under ``jit`` XLA's SPMD
+    partitioner lowers the advection stencils' ``jnp.roll`` halo exchanges
+    (:func:`boltzfft.transport._advect_muscl_axis`) to nearest-neighbor
+    ``collective-permute`` ops over the mesh (ICI neighbors on real
+    hardware), and the collision substep — batched over cells — runs
+    shard-local with zero cross-cell traffic.  Asserted by
+    ``tests/test_transport.py::TestSpatialSharding`` (sharded-vs-unsharded
+    parity + halo collectives present in the compiled module).  The
+    reference has no spatial solver at all; this is a boltzfft extension.
+    """
+    n_cell_axes = f.ndim - 3
+    if n_cell_axes not in (1, 2):
+        raise ValueError(
+            f"expected (Cx[, Cy], Nvx, Nvy, Nvz), got {f.ndim}-d input"
+        )
+    names = (x_axis,) if n_cell_axes == 1 else (x_axis, y_axis)
+    spec = P(*names)
+    return jax.device_put(f, jax.sharding.NamedSharding(mesh, spec))

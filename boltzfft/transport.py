@@ -224,6 +224,119 @@ def make_inhomogeneous_step_2d(
     return step
 
 
+def _halo_exchange(f, axis: int, width: int, axis_name: str):
+    """Periodic halo exchange along a shard_map mesh axis.
+
+    Returns ``f`` extended by ``width`` cells from each neighboring shard
+    along ``axis`` (ring topology — the global periodic boundary IS the
+    ring closure).  Two ``lax.ppermute`` — nearest-neighbor sends that ride
+    ICI on real hardware."""
+    n = jax.lax.axis_size(axis_name)
+    m = f.shape[axis]
+    lo = jax.lax.slice_in_dim(f, 0, width, axis=axis)
+    hi = jax.lax.slice_in_dim(f, m - width, m, axis=axis)
+    # my trailing cells become my RIGHT neighbor's left halo, and vice versa
+    left_halo = jax.lax.ppermute(
+        hi, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    right_halo = jax.lax.ppermute(
+        lo, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    return jnp.concatenate([left_halo, f, right_halo], axis=axis)
+
+
+def make_sharded_step_2d(
+    cfg: CollisionConfig,
+    collide_fn: Callable[[jnp.ndarray, Precomp], jnp.ndarray],
+    mesh,
+    *,
+    dx: float,
+    dy: float,
+    dt: float,
+    x_axis: Optional[str] = None,
+    y_axis: Optional[str] = None,
+    knudsen: float = 1.0,
+    scheme: str = "muscl",
+    jit: bool = True,
+) -> Callable[[jnp.ndarray, Precomp], jnp.ndarray]:
+    """2D×3V Strang step with an explicit spatial domain decomposition.
+
+    The cell grid ``(Cx, Cy)`` shards over the mesh axes ``x_axis`` /
+    ``y_axis`` (either may be None = that direction stays local).  Inside
+    ``shard_map``: the advection stencils run on halo-extended local blocks
+    (:func:`_halo_exchange` — width 2 for MUSCL, 1 for upwind; periodic
+    ring closure), and the collision substep is a vmap over the shard's
+    local cells — ZERO cross-cell communication.
+
+    Why not plain ``jit`` over sharded inputs?  Functionally that works
+    (and ``jnp.roll`` does lower to collective-permutes), but XLA's SPMD
+    partitioner will not batch-partition the ``fft`` op: it ALL-GATHERS
+    the whole cell batch onto every device around each FFT (measured —
+    see ``tests/test_transport.py::TestSpatialSharding``), destroying the
+    decomposition's point.  The shard_map formulation keeps every FFT
+    shard-local by construction.
+
+    ``collide_fn`` is the single-cell operator (jit=False); f has shape
+    ``(Cx, Cy, Nvx, Nvy, Nvz)`` with Cx/Cy divisible by their mesh-axis
+    sizes.  Place inputs with :func:`boltzfft.place_cells`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if scheme not in _AXIS_SCHEMES:
+        raise ValueError(
+            f"scheme must be one of {sorted(_AXIS_SCHEMES)}, got {scheme!r}"
+        )
+    advect = _AXIS_SCHEMES[scheme]
+    halo_w = 2 if scheme == "muscl" else 1
+    g = cfg.velocity_grid
+    rd = cfg.real_dtype
+    vx = jnp.asarray(g.vx, rd).reshape(1, 1, -1, 1, 1)
+    vy = jnp.asarray(g.vy, rd).reshape(1, 1, 1, -1, 1)
+    inv_kn = 1.0 / knudsen
+    q_one = jax.vmap(lambda f, pre: collide_fn(f, pre), in_axes=(0, None))
+
+    def advect_ax(f, v, d, dtt, axis, name):
+        if name is None:
+            return advect(f, v, d, dtt, axis)
+        if f.shape[axis] < halo_w:
+            raise ValueError(
+                f"local cell block of {f.shape[axis]} along axis {axis} is "
+                f"smaller than the {scheme!r} stencil's halo width "
+                f"{halo_w}; use more cells or fewer shards on that axis"
+            )
+        ext = _halo_exchange(f, axis, halo_w, name)
+        out = advect(ext, v, d, dtt, axis)
+        return jax.lax.slice_in_dim(
+            out, halo_w, halo_w + f.shape[axis], axis=axis
+        )
+
+    def q_of(f, pre):
+        cx, cy = f.shape[:2]
+        flat = f.reshape((cx * cy,) + f.shape[2:])
+        return q_one(flat, pre).reshape(f.shape)
+
+    def local_step(f, pre):
+        f = advect_ax(f, vx, dx, 0.5 * dt, 0, x_axis)
+        f = advect_ax(f, vy, dy, 0.5 * dt, 1, y_axis)
+        k1 = q_of(f, pre)
+        f_mid = f + (0.5 * dt * inv_kn) * k1
+        k2 = q_of(f_mid, pre)
+        f = f + (dt * inv_kn) * k2
+        f = advect_ax(f, vy, dy, 0.5 * dt, 1, y_axis)
+        f = advect_ax(f, vx, dx, 0.5 * dt, 0, x_axis)
+        return f
+
+    f_spec = P(x_axis, y_axis)
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(f_spec, P()),
+        out_specs=f_spec,
+        check_vma=False,
+    )
+    return jax.jit(step) if jit else step
+
+
 def sod_initial_condition(
     cfg: CollisionConfig,
     nx: int,

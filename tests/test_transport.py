@@ -323,3 +323,84 @@ class TestStep2D:
             transport.make_inhomogeneous_step_2d(
                 cfg, coll, dx=0.1, dy=0.1, dt=0.01, scheme="nope"
             )
+
+
+class TestSpatialSharding:
+    """2D spatial domain decomposition over the device mesh.
+
+    Two formulations, both parity-tested against the unsharded step:
+    plain jit over :func:`boltzfft.place_cells`-sharded inputs (GSPMD —
+    correct, but measured to ALL-GATHER the cell batch around fft ops),
+    and :func:`transport.make_sharded_step_2d` (shard_map + ppermute
+    halos — every FFT shard-local, the production decomposition)."""
+
+    def _setup(self, cx=4, cy=2):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="rfft")
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        rng = np.random.RandomState(7)
+        base = np.asarray(transport.sod_initial_condition(cfg, 1))[0]
+        f = jnp.asarray(
+            base[None, None] * (1.0 + 0.3 * rng.rand(cx, cy, 1, 1, 1))
+        )  # (Cx, Cy, 8, 8, 8)
+        step = transport.make_inhomogeneous_step_2d(
+            cfg, coll, dx=0.3, dy=0.2, dt=0.01, knudsen=1.0
+        )
+        ref = np.asarray(jax.jit(step)(f, pre))
+        return cfg, coll, pre, f, step, ref
+
+    def test_gspmd_parity_but_gathers(self):
+        _, _, pre, f, step, ref = self._setup()
+        mesh = bz.make_mesh([("cx", 4), ("cy", 2)])
+        f_sh = bz.place_cells(f, mesh, x_axis="cx", y_axis="cy")
+        stepped = jax.jit(step)
+        out = np.asarray(stepped(f_sh, pre))
+        np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+        txt = stepped.lower(f_sh, pre).compile().as_text()
+        # rolls DO become halo collectives ...
+        assert "collective-permute" in txt
+        # ... but GSPMD all-gathers the cell batch around the fft op —
+        # the documented motivation for make_sharded_step_2d
+        assert "all-gather" in txt
+
+    def test_shard_map_step_parity_and_local_ffts(self):
+        # 2 cells per shard on each axis (= the MUSCL halo width)
+        cfg, coll, pre, f, _, ref = self._setup(cx=8, cy=4)
+        mesh = bz.make_mesh([("cx", 4), ("cy", 2)])
+        sh_step = transport.make_sharded_step_2d(
+            cfg, coll, mesh, dx=0.3, dy=0.2, dt=0.01, knudsen=1.0,
+            x_axis="cx", y_axis="cy",
+        )
+        f_sh = bz.place_cells(f, mesh, x_axis="cx", y_axis="cy")
+        out = np.asarray(sh_step(f_sh, pre))
+        np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+        txt = sh_step.lower(f_sh, pre).compile().as_text()
+        assert "collective-permute" in txt  # the ppermute halos
+        assert "all-gather" not in txt  # ffts stay shard-local
+
+    def test_shard_map_one_axis_only(self):
+        cfg, coll, pre, f, _, ref = self._setup(cx=8, cy=2)
+        mesh = bz.make_mesh([("cx", 4)])
+        sh_step = transport.make_sharded_step_2d(
+            cfg, coll, mesh, dx=0.3, dy=0.2, dt=0.01, knudsen=1.0,
+            x_axis="cx",
+        )
+        out = np.asarray(sh_step(bz.place_cells(f, mesh, x_axis="cx"), pre))
+        np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+
+    def test_halo_narrower_than_stencil_raises(self):
+        cfg, coll, pre, f, _, _ = self._setup(cx=4, cy=2)
+        mesh = bz.make_mesh([("cx", 4)])
+        sh_step = transport.make_sharded_step_2d(
+            cfg, coll, mesh, dx=0.3, dy=0.2, dt=0.01, x_axis="cx"
+        )
+        with pytest.raises(ValueError, match="halo width"):
+            sh_step(bz.place_cells(f, mesh, x_axis="cx"), pre)
+
+    def test_1d_placement(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="rfft")
+        f = transport.sod_initial_condition(cfg, 8)
+        mesh = bz.make_mesh([("cx", 8)])
+        f_sh = bz.place_cells(f, mesh, x_axis="cx")
+        assert f_sh.sharding.spec == jax.sharding.PartitionSpec("cx")
+        with pytest.raises(ValueError, match="expected"):
+            bz.place_cells(f[0, 0], mesh, x_axis="cx")
