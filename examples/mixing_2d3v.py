@@ -8,6 +8,14 @@ spatial axes + per-cell collisions) and conservation diagnostics.
 
 Run (CPU f64):
     PYTHONPATH= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python examples/mixing_2d3v.py
+
+Pass ``--shard`` to run the same problem spatially decomposed over the
+available devices (`transport.make_sharded_step_2d`: shard_map with
+ppermute halo exchange, shard-local collision FFTs) — e.g. with an
+8-device virtual CPU mesh:
+    PYTHONPATH= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 \\
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+      python examples/mixing_2d3v.py --shard
 """
 
 import sys
@@ -59,9 +67,22 @@ def main():
         blob[:, :, None, None, None] * shear[None], cfg.real_dtype
     )  # (nx, ny, Nv, Nv, Nv)
 
-    step = transport.make_inhomogeneous_step_2d(
-        cfg, collide, dx=dx, dy=dy, dt=dt, knudsen=0.5
-    )
+    if "--shard" in sys.argv[1:]:
+        n_dev = len(jax.devices())
+        mx = 4 if n_dev % 4 == 0 and nx % 4 == 0 else 2
+        my = max(1, min(n_dev // mx, 2))
+        mesh = bz.make_mesh([("cx", mx), ("cy", my)])
+        print(f"spatial decomposition: {mx}x{my} device mesh, "
+              f"{nx // mx}x{ny // my} cells per shard")
+        step = transport.make_sharded_step_2d(
+            cfg, collide, mesh, dx=dx, dy=dy, dt=dt, knudsen=0.5,
+            x_axis="cx", y_axis="cy", jit=False,
+        )
+        f0 = bz.place_cells(f0, mesh, x_axis="cx", y_axis="cy")
+    else:
+        step = transport.make_inhomogeneous_step_2d(
+            cfg, collide, dx=dx, dy=dy, dt=dt, knudsen=0.5
+        )
 
     run = jax.jit(
         lambda f, p: jax.lax.fori_loop(0, steps, lambda i, s: step(s, p), f)
