@@ -240,6 +240,7 @@ def collide_ds(
     contract: str = "vpu",
     gain_reduce: Optional[Callable[[CDS], CDS]] = None,
     oz_cmax: Optional[int] = None,
+    preslice: bool = True,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -270,6 +271,10 @@ def collide_ds(
     64^3/Ns=12: cmax=6 keeps every reference digit (Linf 3.0689e-12),
     cmax=5 drifts the print (3.11e-12), cmax=4 degrades to 1.6e-11.  The
     ``vpu`` engine ignores it.
+
+    ``preslice`` (oz engine on TPU): extract f_hat's bf16 chunk operands
+    once per eval instead of in-kernel per node (bit-identical output; see
+    :func:`boltzfft.oz.preslice_rows`).  Off by choice only for A/B timing.
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
@@ -314,6 +319,14 @@ def collide_ds(
     phased = contract in ("oz", "ozk")
     nodemat = phased and pre.pm1 is not None
     kern = True if contract == "ozk" else None
+    # Pre-extract f_hat's bf16 chunk operands ONCE (oz.preslice_rows): every
+    # repeat-mode z-axis contraction in the group loop (2 streams x groups x
+    # sub-batches) otherwise re-slices the same spectrum in-kernel per node.
+    # Only the Mosaic kernel path consumes them (the jnp twin slices inline,
+    # bit-identically), so build them only where that path runs.
+    f_pre = None
+    if nodemat and preslice and jax.default_backend() == "tpu":
+        f_pre = oz.preslice_rows(f_hat, cmax=cmax, w=slw, interpret=False)
 
     def group(acc, xs):
         if nodemat:
@@ -328,10 +341,12 @@ def collide_ds(
                 m1 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm1)
                 m2 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm2)
                 g1 = oz.transform3_oz_nodemat(
-                    f_hat, m1, kernel=kern, cmax=cmax, w=slw, fold_tail=ftail
+                    f_hat, m1, kernel=kern, cmax=cmax, w=slw,
+                    fold_tail=ftail, x_pre=f_pre,
                 )
                 g2 = oz.transform3_oz_nodemat(
-                    f_hat, m2, kernel=kern, cmax=cmax, w=slw, fold_tail=ftail
+                    f_hat, m2, kernel=kern, cmax=cmax, w=slw,
+                    fold_tail=ftail, x_pre=f_pre,
                 )
             elif phased:
                 ph = (_cindex(ax, sl), _cindex(ay, sl), _cindex(az, sl))

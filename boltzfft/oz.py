@@ -390,15 +390,118 @@ def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
     return sx_eff, split, blo, bhi
 
 
+class PreslicedCDS(NamedTuple):
+    """Lane-concatenated bf16 mantissa chunks of a flattened CDS operand.
+
+    ``lo_*`` holds the first ``split`` chunks (the v3 kernel's low dot
+    operand), ``all_*`` all ``sx`` chunks; both are ``(rows, n*K)`` with the
+    chunk index on lanes.  Produced once per eval by :func:`preslice_rows`
+    for operands that many kernel launches share (the ds pipeline's f_hat:
+    repeat-mode z-axis contractions otherwise re-slice the same spectrum
+    in-kernel for every node x group x sub-batch x stream — ~3000 redundant
+    row-block slicings per 64^3 eval)."""
+
+    lo_re: jnp.ndarray
+    all_re: jnp.ndarray
+    lo_im: jnp.ndarray
+    all_im: jnp.ndarray
+
+
+def _slice_rows(hi, lo, sig, w, sx, split, opq):
+    """The kernel's chunk extraction (see _oz_contract_kernel_v3.slices);
+    shared by the in-kernel path, the preslice kernel, and the jnp twin so
+    all three produce bit-identical chunks."""
+    out = []
+    r_hi, r_lo = hi, lo
+    for i in range(sx):
+        m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
+        c = opq(opq(r_hi + m_i) - m_i)
+        out.append(c.astype(jnp.bfloat16))
+        r_hi = opq(r_hi - c)  # exact
+        r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
+    return jnp.concatenate(out[:split], axis=1), jnp.concatenate(out, axis=1)
+
+
+def _preslice_kernel(
+    xrh, xrl, xih, xil, olo_r, oall_r, olo_i, oall_i, *, w, sx, split
+):
+    opq = lambda v: v  # Mosaic emits EFTs as written
+    olo_r[:], oall_r[:] = _slice_rows(
+        xrh[:], xrl[:], _phase_sigma(xrh[:]), w, sx, split, opq
+    )
+    olo_i[:], oall_i[:] = _slice_rows(
+        xih[:], xil[:], _phase_sigma(xih[:]), w, sx, split, opq
+    )
+
+
+def preslice_rows(
+    x: CDS, cmax: int = DEFAULT_CMAX, w: int = DEFAULT_W,
+    interpret: Optional[bool] = None,
+) -> PreslicedCDS:
+    """Extract the v3 kernel's bf16 chunk operands once, outside the kernel.
+
+    Chunks are a deterministic per-row function (scale from
+    :func:`_phase_sigma`, extraction from :func:`_slice_rows`), so a kernel
+    consuming these via ``x_pre`` is bit-identical to one slicing in-kernel.
+    ``x`` may have any leading shape; rows are the flattened leading axes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = x.re.hi.shape[-1]
+    nlev = cmax + 1
+    sx_eff = min(DEFAULT_SLICES_X, nlev)
+    split = min(_SPLIT, nlev, sx_eff)
+    flat = lambda a: a.reshape(-1, k).astype(jnp.float32)
+    xrh, xrl = flat(x.re.hi), flat(x.re.lo)
+    xih, xil = flat(x.im.hi), flat(x.im.lo)
+    if interpret:
+        lo_r, all_r = _slice_rows(
+            xrh, xrl, _phase_sigma(xrh), w, sx_eff, split, _opaque
+        )
+        lo_i, all_i = _slice_rows(
+            xih, xil, _phase_sigma(xih), w, sx_eff, split, _opaque
+        )
+        return PreslicedCDS(lo_r, all_r, lo_i, all_i)
+    rows = xrh.shape[0]
+    rb = _row_block(rows)
+    spec_in = pl.BlockSpec((rb, k), lambda i: (i, 0))
+    outs = [
+        jax.ShapeDtypeStruct((rows, n * k), jnp.bfloat16)
+        for n in (split, sx_eff, split, sx_eff)
+    ]
+    out_specs = [
+        pl.BlockSpec((rb, n * k), lambda i: (i, 0))
+        for n in (split, sx_eff, split, sx_eff)
+    ]
+    res = pl.pallas_call(
+        partial(_preslice_kernel, w=w, sx=sx_eff, split=split),
+        grid=(rows // rb,),
+        in_specs=[spec_in] * 4,
+        out_specs=out_specs,
+        out_shape=outs,
+        interpret=False,
+    )(xrh, xrl, xih, xil)
+    return PreslicedCDS(*res)
+
+
 def _oz_contract_kernel_v3(
     *refs, w, sx, split, ell, nlev, sm, pin, real_in=False, real_out=False,
     phase=False, conj=False, has_hi=True, node_mats=False, fold_tail=None,
+    presliced=False,
 ):
     """v3 layout: chunks lane-concatenated, block-Toeplitz matrix (see
     the layout-history note above).  Same slice extraction, same exact level
     values, same compensated fold order as v2 — bit-identical outputs."""
     n_mats = (2 if has_hi else 1) * 2
-    if node_mats:
+    if presliced:
+        # chunk operands arrive pre-extracted (preslice_rows): no slicing,
+        # no sigma — the kernel is dots + fold only
+        (crlo_ref, crall_ref, cilo_ref, ciall_ref) = refs[:4]
+        mats = refs[4:4 + n_mats]
+        outs = refs[4 + n_mats:]
+        sr_ref = si_ref = None
+        xrh_ref = crlo_ref  # rb source below
+    elif node_mats:
         # per-node-matrix mode: slicing scales computed in-kernel (an extra
         # HBM pass to precompute them costs more than the VPU row-max here)
         (xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:4]
@@ -429,19 +532,15 @@ def _oz_contract_kernel_v3(
     rb = xrh_ref.shape[0]
     opq = _opaque if pin else (lambda v: v)
 
-    def slices(hi, lo, sig):
-        out = []
-        r_hi, r_lo = hi, lo
-        for i in range(sx):
-            m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
-            c = opq(opq(r_hi + m_i) - m_i)
-            out.append(c.astype(jnp.bfloat16))
-            r_hi = opq(r_hi - c)  # exact
-            r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
-        # low levels contract against chunks i < split only
-        return jnp.concatenate(out[:split], axis=1), jnp.concatenate(out, axis=1)
+    # low levels contract against chunks i < split only (shared extraction:
+    # _slice_rows — also the preslice kernel, so presliced mode is
+    # bit-identical)
+    slices = lambda hi, lo, sig: _slice_rows(hi, lo, sig, w, sx, split, opq)
 
-    if node_mats:
+    if presliced:
+        cr = (crlo_ref[:], crall_ref[:])
+        ci = (cilo_ref[:], ciall_ref[:])
+    elif node_mats:
         cr = slices(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:]))
         ci = slices(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:]))
     elif phase:
@@ -807,6 +906,7 @@ def contract_last_oz_nodemat(
     interpret: Optional[bool] = None,
     repeat: bool = False,
     fold_tail: Optional[int] = None,
+    x_pre: Optional[PreslicedCDS] = None,
 ) -> CDS:
     """Per-node-matrix contraction: ``out[c, ..., l] = sum_k x[(c,) ..., k]
     * m[c, k, l]``.
@@ -872,9 +972,9 @@ def contract_last_oz_nodemat(
     rb = _row_block(rows_pn)
     bpn = rows_pn // rb
     if repeat:
-        x_spec = pl.BlockSpec((rb, k), lambda i, _b=bpn: (i % _b, 0))
+        x_idx = lambda i, _b=bpn: (i % _b, 0)
     else:
-        x_spec = pl.BlockSpec((rb, k), lambda i: (i, 0))
+        x_idx = lambda i: (i, 0)
     sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
     mats = list(blo) + (list(bhi) if bhi is not None else [])
     mat_specs = [
@@ -886,16 +986,28 @@ def contract_last_oz_nodemat(
         _oz_contract_kernel_v3,
         w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
         pin=False, has_hi=bhi is not None, node_mats=True,
-        fold_tail=fold_tail,
+        fold_tail=fold_tail, presliced=x_pre is not None,
     )
+    if x_pre is not None:
+        # shared operand arrives as pre-extracted bf16 chunks (preslice_rows)
+        # — the kernel skips slicing entirely; bit-identical by construction
+        assert repeat, "x_pre is only meaningful for the shared-x repeat mode"
+        x_args = (x_pre.lo_re, x_pre.all_re, x_pre.lo_im, x_pre.all_im)
+        x_specs = [
+            pl.BlockSpec((rb, n * k), x_idx)
+            for n in (split, sx_eff, split, sx_eff)
+        ]
+    else:
+        x_args = (xrh, xrl, xih, xil)
+        x_specs = [pl.BlockSpec((rb, k), x_idx)] * 4
     out = pl.pallas_call(
         kern,
         grid=(rows_out // rb,),
-        in_specs=[x_spec, x_spec, x_spec, x_spec] + mat_specs,
+        in_specs=x_specs + mat_specs,
         out_specs=[out_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((rows_out, ell), jnp.float32)] * 4,
         interpret=False,
-    )(xrh, xrl, xih, xil, *mats)
+    )(*x_args, *mats)
     reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
     return CDS(DS(reh, rel), DS(imh, iml))
 
@@ -908,6 +1020,7 @@ def transform3_oz_nodemat(
     repeat: bool = True,
     fold_tail: Optional[int] = None,
     w: int = DEFAULT_W,
+    x_pre: Optional[PreslicedCDS] = None,
 ) -> CDS:
     """``IFFT3(alpha_c . x)`` for a block of nodes with the separable
     per-axis phases FOLDED INTO per-node transform matrices.
@@ -929,7 +1042,11 @@ def transform3_oz_nodemat(
         contract_last_oz_nodemat, cmax=cmax, interpret=interp,
         fold_tail=fold_tail, w=w,
     )
-    x = ck(x, mz, repeat=repeat)  # z: (C, Nx, Ny, Nz)
+    # x_pre (pre-extracted chunks of the shared x, see preslice_rows) feeds
+    # only the first contraction — later axes consume per-node outputs.  The
+    # jnp twin slices inline either way (bit-identical chunks).
+    pre_kw = {"x_pre": x_pre} if (x_pre is not None and repeat) else {}
+    x = ck(x, mz, repeat=repeat, **pre_kw)  # z: (C, Nx, Ny, Nz)
     x = ds._swap_last2(ck(ds._swap_last2(x), my))  # y
     x = ds._roll_axis(ck(ds._roll_axis(x, -3, -1), mx), -1, -3)  # x
     return x

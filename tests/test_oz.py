@@ -38,6 +38,36 @@ class TestSlicing:
         sl = oz.slice_ds_last(x)
         assert np.all(np.asarray(sl, np.float64) == 0.0)
 
+    def test_preslice_rows_layout_and_reconstruction(self, rng):
+        # preslice_rows = the kernel's in-kernel extraction hoisted out; the
+        # lo operand must be a lane-prefix of all, and the chunk columns must
+        # reconstruct the ds value to the 2^-49 residual bound
+        k, cmax = 32, 6
+        a64 = rng.standard_normal((16, k)) * 10.0 ** rng.uniform(-8, 5, (16, 1))
+        b64 = rng.standard_normal((16, k)) * 10.0 ** rng.uniform(-8, 5, (16, 1))
+        x = ds.CDS(ds.from_f64(a64), ds.from_f64(b64))
+        ps = oz.preslice_rows(x, cmax=cmax, interpret=True)
+        sx_eff = min(oz.DEFAULT_SLICES_X, cmax + 1)
+        split = min(oz._SPLIT, cmax + 1, sx_eff)
+        assert ps.all_re.shape == (16, sx_eff * k)
+        assert ps.lo_re.shape == (16, split * k)
+        assert ps.all_re.dtype == jnp.bfloat16
+        # lo is bitwise the lane-prefix of all
+        assert np.array_equal(
+            np.asarray(ps.lo_re), np.asarray(ps.all_re[:, : split * k])
+        )
+        assert np.array_equal(
+            np.asarray(ps.lo_im), np.asarray(ps.all_im[:, : split * k])
+        )
+        for comp, chunks in ((a64, ps.all_re), (b64, ps.all_im)):
+            rec = np.zeros_like(comp)
+            for i in range(sx_eff):
+                rec += np.asarray(
+                    chunks[:, i * k : (i + 1) * k], np.float64
+                )
+            scale = np.max(np.abs(comp), axis=-1, keepdims=True)
+            assert np.max(np.abs(rec - comp) / scale) < 2.0 ** -48
+
     def test_chunks_are_bf16_exact(self, rng):
         # each chunk must be exactly representable in bfloat16: the f64 sum
         # of the bf16 slices equals the f64 sum of f32-cast slices
