@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--sub-batch", type=int, default=2)
     p.add_argument("--eval-chain", type=int, default=4,
                    help="chain length for the full-eval measurement")
+    p.add_argument("--no-preslice", action="store_true",
+                   help="measure the g-transform stage without the "
+                        "pre-sliced shared-operand mode")
     args = p.parse_args(argv)
 
     bz.enable_compilation_cache("/root/repo/.xla_cache")
@@ -122,11 +125,26 @@ def main(argv=None):
     print("per-stage (chained):", flush=True)
     tf_nodemat = partial(oz.transform3_oz_nodemat, cmax=cmax, w=slw,
                          fold_tail=ftail)
-    stage(
-        "g-transform",
-        lambda c: jax.tree.map(lambda a: a[0] * damp, tf_nodemat(c, m1)),
-        fh, 2 * n_groups * n_sub,
-    )
+    use_pre = not args.no_preslice and jax.default_backend() == "tpu"
+    if use_pre:
+        # the pipeline pre-slices f_hat once per eval; the stage body must
+        # re-derive the chunks from the carry so the measurement keeps the
+        # data dependency (cost is amortized in-pipeline, counted once here)
+        stage(
+            "g-transform",
+            lambda c: jax.tree.map(
+                lambda a: a[0] * damp,
+                tf_nodemat(c, m1, x_pre=oz.preslice_rows(
+                    c, cmax=cmax, w=slw, interpret=False)),
+            ),
+            fh, 2 * n_groups * n_sub,
+        )
+    else:
+        stage(
+            "g-transform",
+            lambda c: jax.tree.map(lambda a: a[0] * damp, tf_nodemat(c, m1)),
+            fh, 2 * n_groups * n_sub,
+        )
     stage(
         "hadamard",
         lambda c: jax.tree.map(
