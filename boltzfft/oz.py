@@ -515,14 +515,17 @@ def _oz_contract_kernel_v3(
         outs = refs[8 + n_mats:]
         sr_ref = si_ref = None
     elif real_in:
-        (sr_ref, xrh_ref, xrl_ref) = refs[:3]
-        mats = refs[3:3 + n_mats]
-        outs = refs[3 + n_mats:]
-        si_ref = xih_ref = xil_ref = None
+        # plain modes compute sigma in-kernel too (round-3 measurement: an
+        # external sigma pass costs more than the VPU row-max)
+        (xrh_ref, xrl_ref) = refs[:2]
+        mats = refs[2:2 + n_mats]
+        outs = refs[2 + n_mats:]
+        sr_ref = si_ref = xih_ref = xil_ref = None
     else:
-        (sr_ref, si_ref, xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:6]
-        mats = refs[6:6 + n_mats]
-        outs = refs[6 + n_mats:]
+        (xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:4]
+        mats = refs[4:4 + n_mats]
+        outs = refs[4 + n_mats:]
+        sr_ref = si_ref = None
     if has_hi:
         blo_re_ref, blo_im_ref, bhi_re_ref, bhi_im_ref = mats
     else:
@@ -554,8 +557,12 @@ def _oz_contract_kernel_v3(
         cr = slices(tre[0], tre[1], _phase_sigma(tre[0]))
         ci = slices(tim[0], tim[1], _phase_sigma(tim[0]))
     else:
-        cr = slices(xrh_ref[:], xrl_ref[:], sr_ref[:])
-        ci = None if real_in else slices(xih_ref[:], xil_ref[:], si_ref[:])
+        cr = slices(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:]))
+        ci = (
+            None
+            if real_in
+            else slices(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:]))
+        )
 
     def level_tiles(chunks, b_lo_ref, b_hi_ref):
         c_lo, c_all = chunks
@@ -765,16 +772,22 @@ def contract_last_oz_kernel(
     rb = _row_block(rows)
     flat = lambda a: a.reshape(rows, k).astype(jnp.float32)
     xrh, xrl = flat(x.re.hi), flat(x.re.lo)
-    sig_r = _pow2_ceil(jnp.max(jnp.abs(xrh), axis=-1, keepdims=True))
     if real_in:
-        xih = xil = sig_i = None
+        xih = xil = None
     else:
         xih, xil = flat(x.im.hi), flat(x.im.lo)
-        sig_i = _pow2_ceil(jnp.max(jnp.abs(xih), axis=-1, keepdims=True))
 
     if interpret:
         # non-TPU: the pure-jnp twin (see its docstring for why NOT
-        # pallas interpret mode)
+        # pallas interpret mode); sigma external here, in-kernel on TPU —
+        # both are strictly-greater power-of-two row scales (valid
+        # extractions; any difference is at the ds noise floor)
+        sig_r = _pow2_ceil(jnp.max(jnp.abs(xrh), axis=-1, keepdims=True))
+        sig_i = (
+            None
+            if real_in
+            else _pow2_ceil(jnp.max(jnp.abs(xih), axis=-1, keepdims=True))
+        )
         zz = jnp.zeros_like if real_in else (lambda a: a)
         out = _oz_contract_v2_jnp(
             sig_r,
@@ -791,14 +804,11 @@ def contract_last_oz_kernel(
 
     row_spec = lambda width: pl.BlockSpec((rb, width), lambda i: (i, 0))
     if real_in:
-        in_specs = [row_spec(1), row_spec(k), row_spec(k)]
-        operands = [sig_r, xrh, xrl]
+        in_specs = [row_spec(k), row_spec(k)]
+        operands = [xrh, xrl]
     else:
-        in_specs = [
-            row_spec(1), row_spec(1),
-            row_spec(k), row_spec(k), row_spec(k), row_spec(k),
-        ]
-        operands = [sig_r, sig_i, xrh, xrl, xih, xil]
+        in_specs = [row_spec(k)] * 4
+        operands = [xrh, xrl, xih, xil]
     sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
     mats = list(blo) + (list(bhi) if bhi is not None else [])
     kern = partial(
