@@ -396,8 +396,15 @@ def collide_ds(
     if gain_reduce is not None:
         q_gain_hat = gain_reduce(q_gain_hat)
 
-    q_gain = tf_inv(q_gain_hat, real_out=True).re
-    loss = tf_inv(ds.cmul_ds(f_hat, pre.beta2), real_out=True).re
+    # one stacked launch for both final inverses (gain + loss share the
+    # transform; rows are independent, so stacking is bit-identical)
+    both = jax.tree.map(
+        lambda a, b: jnp.stack((a, b)),
+        q_gain_hat, ds.cmul_ds(f_hat, pre.beta2),
+    )
+    inv = tf_inv(both, real_out=True).re
+    q_gain = jax.tree.map(lambda a: a[0], inv)
+    loss = jax.tree.map(lambda a: a[1], inv)
     return ds.sub(q_gain, ds.mul(loss, f))
 
 
