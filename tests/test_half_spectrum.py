@@ -1,0 +1,187 @@
+"""Math validation for the exact half-spectrum g-stream decomposition.
+
+The ds-oz pipeline's dominant cost (measured 82% at 64^3, see
+docs/PERFORMANCE.md) is the per-node inverse transforms
+``g = IFFT3(alpha . f_hat)``.  For REAL input f the spectrum
+``alpha . f_hat`` is Hermitian *except on the Nyquist hyperplanes* (the
+mode ``-N/2`` has no ``+N/2`` partner, so ``alpha(-l) = conj(alpha(l))``
+fails there — the reason the naive g-realness shortcut was rejected in
+round 3, ``ds_operator.py``).  The exact fix validated here: partition the
+mode set per axis into non-Nyquist indices ``K'`` and the Nyquist index,
+giving 8 blocks by which axes sit at Nyquist:
+
+    g = MAIN   (3-D block over K'^3, exactly real -> half-spectrum
+                transform with halved z extent and doubled interior
+                weights)
+      + 3 PLANE terms  (one axis at Nyquist: ``nu_a (-1)^{j_a} (x)`` a
+                2-D reduced transform of that Nyquist plane, exactly real)
+      + 3 LINE terms   (two axes at Nyquist: 1-D reduced transforms)
+      + 1 POINT term   (the all-Nyquist corner, a real scalar).
+
+Every reduced transform is real because each block's data is Hermitian on
+its own reduced index set (closed under negation once Nyquist is removed)
+and the phases satisfy ``alpha(-k) = conj(alpha(k))`` on ``K'``.  No
+approximation anywhere — this is an exact regrouping of the full complex
+sum, turning ~7/12 of the transform MACs real-output-redundant.
+
+Reference for the direct form: ``FFTWBoltzmannOperator.cpp:204-230``
+(alpha build + batched inverse transforms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from boltzfft import modes as _modes
+
+
+def _axis_phase(n: int, rho_sigma: float, length: float) -> np.ndarray:
+    """Production-form separable phase: exp(i * coef * rho*sigma_axis * l)
+    (build_ds_precomp's axis_phase_c128, one node)."""
+    coef = -np.pi / (2.0 * length)
+    return np.exp(1j * coef * rho_sigma * _modes.fft_modes(n))
+
+
+def _rng_real_f(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    # adversarial: full-scale white noise — every Nyquist mode populated
+    # (smooth BKW-like inputs underweight the correction terms)
+    return rng.standard_normal(shape)
+
+
+def _decomposed_g(f, ax, ay, az):
+    """The 8-block decomposition, assembled exactly as the pipeline will:
+    half-spectrum main + plane/line/point corrections."""
+    nx, ny, nz = f.shape
+    F = np.fft.fftn(f)
+    hx, hy, hz = nx // 2, ny // 2, nz // 2  # Nyquist indices
+    nux, nuy, nuz = ax[hx], ay[hy], az[hz]
+
+    kx = np.arange(nx) != hx  # K' masks
+    ky = np.arange(ny) != hy
+    kz = np.arange(nz) != hz
+
+    # ---- MAIN: K'^3 block via the halved-z real form --------------------
+    S0 = (ax[:, None, None] * ay[None, :, None] * az[None, None, :]) * F
+    S0 = S0 * kx[:, None, None] * ky[None, :, None] * kz[None, None, :]
+    # complex 2-D inverse over x,y; then the weighted half-z sum
+    T = np.fft.ifft2(S0, axes=(0, 1))  # (nx, ny, nz) spatial x,y
+    jz = np.arange(nz)
+    r_main = np.zeros(f.shape)
+    for k in range(hz):  # kz in 0..N/2-1 (z-Nyquist excluded from main)
+        w = 1.0 if k == 0 else 2.0
+        e = np.exp(2j * np.pi * jz * k / nz) / nz
+        r_main += w * np.real(T[:, :, k][:, :, None] * e[None, None, :])
+
+    # ---- PLANES ----------------------------------------------------------
+    def plane_term(axis):
+        if axis == 2:  # z-Nyquist plane, reduced over (x, y)
+            data = (ax[:, None] * ay[None, :]) * F[:, :, hz]
+            data = data * kx[:, None] * ky[None, :]
+            red = np.fft.ifft2(data)  # (nx, ny)
+            assert np.max(np.abs(red.imag)) < 1e-13 * max(
+                1.0, np.max(np.abs(red))
+            ), "reduced plane transform must be exactly real"
+            pat = (-1.0) ** jz / nz
+            return nuz * red.real[:, :, None] * pat[None, None, :]
+        if axis == 0:  # x-Nyquist plane, reduced over (y, z)
+            data = (ay[:, None] * az[None, :]) * F[hx, :, :]
+            data = data * ky[:, None] * kz[None, :]
+            red = np.fft.ifft2(data)
+            pat = (-1.0) ** np.arange(nx) / nx
+            return nux * pat[:, None, None] * red.real[None, :, :]
+        data = (ax[:, None] * az[None, :]) * F[:, hy, :]  # y plane
+        data = data * kx[:, None] * kz[None, :]
+        red = np.fft.ifft2(data)
+        pat = (-1.0) ** np.arange(ny) / ny
+        return nuy * red.real[:, None, :] * pat[None, :, None]
+
+    # ---- LINES -----------------------------------------------------------
+    jx, jy = np.arange(nx), np.arange(ny)
+
+    def line_term(free_axis):
+        if free_axis == 2:  # x,y at Nyquist; 1-D reduced over z
+            data = az * F[hx, hy, :] * kz
+            red = np.fft.ifft(data)
+            pat = np.outer((-1.0) ** jx, (-1.0) ** jy) / (nx * ny)
+            return nux * nuy * pat[:, :, None] * red.real[None, None, :]
+        if free_axis == 0:
+            data = ax * F[:, hy, hz] * kx
+            red = np.fft.ifft(data)
+            pat = np.outer((-1.0) ** jy, (-1.0) ** jz) / (ny * nz)
+            return nuy * nuz * red.real[:, None, None] * pat[None, :, :]
+        data = ay * F[hx, :, hz] * ky
+        red = np.fft.ifft(data)
+        pat = np.outer((-1.0) ** jx, (-1.0) ** jz) / (nx * nz)
+        return nux * nuz * red.real[None, :, None] * pat[:, None, :]
+
+    corr = sum(plane_term(a) for a in range(3))
+    corr = corr + sum(line_term(a) for a in range(3))
+    # ---- POINT -----------------------------------------------------------
+    corner = F[hx, hy, hz]
+    assert abs(corner.imag) < 1e-12 * max(1.0, abs(corner))
+    pat = (
+        np.multiply.outer(np.outer((-1.0) ** jx, (-1.0) ** jy), (-1.0) ** jz)
+        / (nx * ny * nz)
+    )
+    corr = corr + (nux * nuy * nuz) * corner.real * pat
+    return r_main + corr
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 8), (16, 16, 16), (8, 16, 12)])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_half_spectrum_decomposition_exact(shape, seed):
+    """main + planes + lines + point == IFFT3(alpha . fftn(f)) to f64 eps,
+    on white noise (all Nyquist modes hot), both alpha streams."""
+    f = _rng_real_f(shape, seed)
+    length = 7.0
+    rs = 1.37  # rho * sigma_axis products, one per axis
+    ax = _axis_phase(shape[0], rs * 0.61, length)
+    ay = _axis_phase(shape[1], rs * -0.34, length)
+    az = _axis_phase(shape[2], rs * 0.94, length)
+    for conj in (False, True):  # g1 and g2 streams
+        a1, a2, a3 = (
+            (np.conj(ax), np.conj(ay), np.conj(az)) if conj else (ax, ay, az)
+        )
+        g_direct = np.fft.ifftn(
+            (a1[:, None, None] * a2[None, :, None] * a3[None, None, :])
+            * np.fft.fftn(f)
+        )
+        g_dec = _decomposed_g(f, a1, a2, a3)
+        scale = np.max(np.abs(g_direct))
+        # the decomposition reproduces BOTH parts of the complex g: the
+        # real part (main + Re-coefficient corrections) and the imaginary
+        # part (Im-coefficient corrections -- the Nyquist 'junk' the
+        # Hadamard h = g1 . g2 needs for bit-parity with the reference)
+        assert np.max(np.abs(g_dec.real - g_direct.real)) < 5e-15 * scale
+        assert np.max(np.abs(g_dec.imag - g_direct.imag)) < 5e-15 * scale
+
+
+def test_half_z_matrix_form():
+    """The main block's z stage as the (N/2, N) real-out matrix the kernel
+    will contract with: out = Re(t @ M) with M[k, jz] = wt_k * alpha_z(k) *
+    exp(2i pi jz k / N) / N — equals the loop form above."""
+    n = 16
+    rng = np.random.default_rng(7)
+    t = rng.standard_normal((5, n)) + 1j * rng.standard_normal((5, n))
+    # impose the Hermitian pair structure the pipeline guarantees:
+    # t(-k) = conj(t(k)), t(0) real, Nyquist entry irrelevant (excluded)
+    t[:, 0] = t[:, 0].real
+    for k in range(1, n // 2):
+        t[:, n - k] = np.conj(t[:, k])
+    az = _axis_phase(n, 0.83, 7.0)
+    full = np.zeros((5, n))
+    for k in list(range(0, n // 2)) + list(range(n // 2 + 1, n)):
+        e = np.exp(2j * np.pi * np.arange(n) * k / n) / n
+        full += np.real(az[k] * t[:, k][:, None] * e[None, :])
+    wt = np.ones(n // 2)
+    wt[1:] = 2.0
+    M = (
+        wt[:, None]
+        * az[: n // 2, None]
+        * np.exp(2j * np.pi * np.outer(np.arange(n // 2), np.arange(n)) / n)
+        / n
+    )
+    half = np.real(t[:, : n // 2] @ M)
+    np.testing.assert_allclose(half, full, rtol=0, atol=1e-14)
