@@ -48,6 +48,12 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
              "last-digit Linf drift, 7 = max retention)",
     )
     p.add_argument(
+        "--g-stream", choices=["full", "half"], default=None,
+        help="ds oz/ozk inverse-stream formulation: full = direct complex "
+             "streams, half = exact half-spectrum Nyquist-block "
+             "decomposition (same digits, less transform work; even grids)",
+    )
+    p.add_argument(
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )

@@ -69,6 +69,18 @@ class DsPrecomp(NamedTuple):
     # on the host removes the kernel's ds phase prologue entirely.
     pm1: Optional[tuple] = None
     pm2: Optional[tuple] = None
+    # Half-spectrum g-stream tables (``g_stream="half"``, even grids only;
+    # math oracle: tests/test_half_spectrum.py).  The per-node z-axis HALF
+    # matrices (n_gl, ns, sm, Nz/2, Nz) compute the main Nyquist-free block
+    # as ``Re(sum_{k<Nz/2} t_k * wt_k * alpha_z(k) * exp(2i pi k jz/Nz)/Nz)``
+    # with weights (1, 2, 2, ...) — a real_out contraction at HALF the
+    # z depth.  ``nyq_coef`` holds the exact host-f64 Nyquist-block
+    # coefficients: planes ``nu_a / n_a``, lines ``nu_b nu_c / (n_b n_c)``
+    # (indexed by the free axis), point ``nu_x nu_y nu_z / (nx ny nz)`` —
+    # each CDS (n_gl, ns); the g2 stream conjugates them in-trace.
+    pmz_half1: Optional[oz.CSlicedMatrix] = None
+    pmz_half2: Optional[oz.CSlicedMatrix] = None
+    nyq_coef: Optional[tuple] = None
 
 
 _UPLOAD_SLICE_BYTES = 4 << 20  # remote-TPU tunnels choke on large one-shot H2D
@@ -185,6 +197,34 @@ def build_ds_precomp(
         fx, fy, fz = folded(0), folded(1), folded(2)
         pm1 = (fx[0], fy[0], fz[0])
         pm2 = (fx[1], fy[1], fz[1])
+    pmz_half1 = pmz_half2 = nyq_coef = None
+    if node_mats and nx % 2 == ny % 2 == nz % 2 == 0:
+        # half-spectrum g-stream tables (see the DsPrecomp field comment +
+        # tests/test_half_spectrum.py for the validated math)
+        nzh = nz // 2
+        pz = axis_phase_c128(2)[..., :nzh, None]  # (n_gl, ns, nzh, 1)
+        ejz = np.exp(
+            2j * np.pi * np.outer(np.arange(nzh), np.arange(nz)) / nz
+        ) / nz
+        wt = np.ones((nzh, 1))
+        wt[1:] = 2.0
+        mzh = wt[None, None] * ejz[None, None]
+        pmz_half1 = oz.slice_matrix_nodes(pz * mzh, slm, slw)
+        pmz_half2 = oz.slice_matrix_nodes(np.conj(pz) * mzh, slm, slw)
+        nus = [
+            axis_phase_c128(a)[..., n // 2]
+            for a, n in zip(range(3), (nx, ny, nz))
+        ]  # per-node Nyquist phase values nu_a, (n_gl, ns) complex
+        csplit = lambda z: ds.cds_from_f64(z, dtype)
+        nyq_coef = (
+            csplit(nus[0] / nx),
+            csplit(nus[1] / ny),
+            csplit(nus[2] / nz),
+            csplit(nus[1] * nus[2] / (ny * nz)),  # line with free axis x
+            csplit(nus[0] * nus[2] / (nx * nz)),  # free axis y
+            csplit(nus[0] * nus[1] / (nx * ny)),  # free axis z
+            csplit(nus[0] * nus[1] * nus[2] / (nx * ny * nz)),
+        )
     return DsPrecomp(
         ax=axis_phase(0),
         ay=axis_phase(1),
@@ -198,6 +238,9 @@ def build_ds_precomp(
         vinv_sl=vinv_sl,
         pm1=pm1,
         pm2=pm2,
+        pmz_half1=pmz_half1,
+        pmz_half2=pmz_half2,
+        nyq_coef=nyq_coef,
     )
 
 
@@ -235,12 +278,158 @@ def _pipeline_slicing(cfg: CollisionConfig):
     return 7, 8, 6
 
 
+def _cconj(c: CDS) -> CDS:
+    """Exact complex conjugate of a CDS (negated imaginary planes)."""
+    return CDS(c.re, DS(-c.im.hi, -c.im.lo))
+
+
+def _corr_ck(kern, cmax, w, ftail):
+    """Shared-matrix contraction engine for the Nyquist-block corrections,
+    mirroring transform3_oz's kernel selection (auto kernel on TPU, staged
+    XLA for contract="oz" off-TPU, jnp twin for "ozk")."""
+    if kern is None and jax.default_backend() != "tpu":
+        return partial(oz.contract_last_oz, cmax=cmax, w=w, fold_tail=ftail)
+    return partial(
+        oz.contract_last_oz_kernel, cmax=cmax, w=w, fold_tail=ftail,
+        interpret=None,
+    )
+
+
+def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool):
+    """Coefficient-folded Nyquist-block correction fields for ALL nodes of
+    one g stream (batched: a handful of kernel launches per eval).
+
+    Exact block evaluation (tests/test_half_spectrum.py): for each axis
+    subset at Nyquist, the block's inverse transform factors into a ±1
+    parity pattern along the Nyquist axes and a reduced transform of the
+    (masked) plane/line/corner data over the rest.  Returns the THREE
+    plane CDS fields (leading (n_gl, ns)) with the line/point blocks
+    pre-folded in and every exact host-f64 coefficient applied — see the
+    fold note below.
+    """
+    nx, ny, nz = cfg.grid_shape
+    hx, hy, hz = nx // 2, ny // 2, nz // 2
+    kx, ky, kz = (
+        jnp.asarray(np.arange(n) != h, jnp.float32)
+        for n, h in ((nx, hx), (ny, hy), (nz, hz))
+    )
+    vs = pre.vinv_sl
+    # CSlicedMatrix is itself a NamedTuple — test the type, not tuple-ness
+    vx, vy, vz = (
+        (vs, vs, vs) if isinstance(vs, oz.CSlicedMatrix) else tuple(vs)
+    )
+    ph = (pre.ax, pre.ay, pre.az)
+    coef = pre.nyq_coef
+    if conj:
+        ph = tuple(_cconj(p) for p in ph)
+        coef = tuple(_cconj(c) for c in coef)
+    ax, ay, az = ph
+    sl_all = slice(None)
+
+    def t2(u, m_last, m_second):
+        """Inverse transform of the last two axes with shared matrices."""
+        u = ck(u, m_last)
+        return ds._swap_last2(ck(ds._swap_last2(u), m_second))
+
+    def plane(take, mask, p_b, p_c, m_last, m_second, cf):
+        data = jax.tree.map(lambda a: a[take] * mask, f_hat)
+        u = ds.cmul(_cindex(p_b, (sl_all, sl_all, sl_all, None)), data)
+        u = ds.cmul(_cindex(p_c, (sl_all, sl_all, None, sl_all)), u)
+        t = t2(u, m_last, m_second)
+        return ds.cmul(_cindex(cf, (sl_all, sl_all, None, None)), t)
+
+    px = plane((hx,), ky[:, None] * kz[None, :], ay, az, vz, vy, coef[0])
+    py = plane(
+        (sl_all, hy), kx[:, None] * kz[None, :], ax, az, vz, vx, coef[1]
+    )
+    pz = plane(
+        (sl_all, sl_all, hz), kx[:, None] * ky[None, :], ax, ay, vy, vx,
+        coef[2],
+    )
+
+    def line(take, mask, p_a, m_a, cf):
+        data = jax.tree.map(lambda a: a[take] * mask, f_hat)
+        u = ds.cmul(p_a, jax.tree.map(lambda a: a[None, None, :], data))
+        t = ck(u, m_a)
+        return ds.cmul(_cindex(cf, (sl_all, sl_all, None)), t)
+
+    lx = line((sl_all, hy, hz), kx, ax, vx, coef[3])
+    ly = line((hx, sl_all, hz), ky, ay, vy, coef[4])
+    lz = line((hx, hy, sl_all), kz, az, vz, coef[5])
+    corner = jax.tree.map(lambda a: a[hx, hy, hz], f_hat)
+    pt = ds.cmul(coef[6], corner)
+
+    # Fold the line and point terms into the plane fields (shared parity
+    # patterns; every multiply is by exact ±1, every add compensated —
+    # tiny (B, N^2) work done once per eval).  The per-sub-batch assembly
+    # then needs only THREE broadcast terms:
+    #   g = r_main + sx(jx).px'(jy,jz) + sy(jy).py'(jx,jz) + sz(jz).pz(jx,jy)
+    syv = jnp.asarray((-1.0) ** np.arange(ny), jnp.float32)
+    szv = jnp.asarray((-1.0) ** np.arange(nz), jnp.float32)
+    expand = lambda t, idx, pat: jax.tree.map(lambda a: a[idx] * pat, t)
+    b = (sl_all, sl_all)
+    # ly: sx.(sz(jz) Ly(jy)) ; lz: sx.(sy(jy) Lz(jz)) ; pt: sx.(sy sz pt)
+    px = ds.cadd(px, expand(ly, b + (sl_all, None), szv[None, None, None, :]))
+    px = ds.cadd(px, expand(lz, b + (None, sl_all), syv[None, None, :, None]))
+    px = ds.cadd(
+        px, expand(pt, b + (None, None), (syv[:, None] * szv[None, :])[None, None])
+    )
+    # lx: sy.(sz(jz) Lx(jx))
+    py = ds.cadd(py, expand(lx, b + (sl_all, None), szv[None, None, None, :]))
+    return (px, py, pz)
+
+
+def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail):
+    """The main (Nyquist-free) block of one g stream for a node sub-batch:
+    y/x complex contractions on the half-z spectrum, then the real_out
+    half-depth z contraction.  Returns the exactly-real main field as a DS.
+
+    ``fhs`` is the shared masked spectrum pre-swapped to (Nx, Nz/2, Ny);
+    ``m_zh`` the per-node half matrices (DsPrecomp.pmz_half*)."""
+    ck = partial(
+        oz.contract_last_oz_nodemat, cmax=cmax, w=w, fold_tail=ftail,
+        interpret=None,
+    )
+    t = ck(fhs, m_y, repeat=True, x_pre=x_pre)  # (C, Nx, Nzh, Ny)
+    t = jax.tree.map(lambda a: a.transpose(0, 3, 2, 1), t)  # (C, Ny, Nzh, Nx)
+    t = ck(t, m_x)
+    t = jax.tree.map(lambda a: a.transpose(0, 3, 1, 2), t)  # (C, Nx, Ny, Nzh)
+    return ck(t, m_zh, real_out=True).re  # (C, Nx, Ny, Nz) real
+
+
+def _assemble_g_half(r_main: DS, corr, signs) -> CDS:
+    """Dense complex g from the real main block + Nyquist corrections.
+
+    ``corr`` holds the three plane fields with the line/point terms
+    pre-folded in (:func:`_nyq_corrections`), so the dense assembly is
+    three broadcast ds adds per component (the ±1 parity multiplies are
+    exact)."""
+    px, py, pz = corr
+    sx, sy, sz = signs
+    terms = (
+        (px, (slice(None), None, slice(None), slice(None)),
+         sx[None, :, None, None]),
+        (py, (slice(None), slice(None), None, slice(None)),
+         sy[None, None, :, None]),
+        (pz, (slice(None), slice(None), slice(None), None),
+         sz[None, None, None, :]),
+    )
+    g_re, g_im = r_main, None
+    for field, idx, pat in terms:
+        tre = DS(field.re.hi[idx] * pat, field.re.lo[idx] * pat)
+        tim = DS(field.im.hi[idx] * pat, field.im.lo[idx] * pat)
+        g_re = ds.add(g_re, tre)
+        g_im = tim if g_im is None else ds.add(g_im, tim)
+    return CDS(g_re, g_im)
+
+
 def collide_ds(
     cfg: CollisionConfig, pre: DsPrecomp, f: DS, sub_batch: int = 2,
     contract: str = "vpu",
     gain_reduce: Optional[Callable[[CDS], CDS]] = None,
     oz_cmax: Optional[int] = None,
     preslice: bool = True,
+    g_stream: Optional[str] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -275,6 +464,16 @@ def collide_ds(
     ``preslice`` (oz engine on TPU): extract f_hat's bf16 chunk operands
     once per eval instead of in-kernel per node (bit-identical output; see
     :func:`boltzfft.oz.preslice_rows`).  Off by choice only for A/B timing.
+
+    ``g_stream`` (oz/ozk engines, even grids): ``"half"`` evaluates the
+    per-node inverse streams via the exact half-spectrum Nyquist-block
+    decomposition (tests/test_half_spectrum.py) — the main block is a
+    real-output transform at half the z depth (~5/12 of the full complex
+    MACs, on the stage that is 82% of the eval), plus exact plane/line/
+    point corrections.  ``"full"`` keeps the direct complex streams; None
+    = :func:`default_g_stream`.  Not an approximation: results agree with
+    the full streams to the ds noise floor on ANY input (Nyquist-rich
+    included), and with the f64 reference digits at the BKW oracle.
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
@@ -306,11 +505,13 @@ def collide_ds(
     # * the final inverses take Re(IFFT(.)) exactly as the reference does
     #   (FFTWBoltzmannOperator.cpp:314-330), so real_out there computes the
     #   same projection without the imaginary output plane.
-    # NOT exploited: realness of g1/g2 — it fails at the unpaired Nyquist
-    # mode (alpha1(-N/2) has no +N/2 partner), so h must stay the complex
-    # Hadamard for bit-parity on under-resolved inputs (the rfft impl's
-    # documented approximation is deliberately NOT imported into this
-    # accuracy instrument).
+    # Realness of g1/g2 fails at the unpaired Nyquist mode (alpha1(-N/2)
+    # has no +N/2 partner), so it is NOT exploited as an approximation (the
+    # rfft impl's documented shortcut stays out of this accuracy
+    # instrument).  g_stream="half" instead uses the EXACT route: the
+    # Nyquist-block decomposition whose main block is provably real and
+    # whose plane/line/point corrections reproduce the complex Nyquist
+    # terms the Hadamard needs (tests/test_half_spectrum.py).
     # oz/ozk engines fuse the separable per-axis phases into each axis
     # contraction as a kernel prologue (oz.transform3_oz_phased): the
     # materialized alpha / alpha*f_hat intermediates — measured 61% of the
@@ -319,24 +520,77 @@ def collide_ds(
     phased = contract in ("oz", "ozk")
     nodemat = phased and pre.pm1 is not None
     kern = True if contract == "ozk" else None
+    gs = default_g_stream(contract) if g_stream is None else g_stream
+    half = gs == "half" and nodemat and pre.pmz_half1 is not None
+    if g_stream == "half" and not half:
+        raise ValueError(
+            "g_stream='half' needs an oz/ozk engine with node_mats tables "
+            "on an all-even grid (build_ds_precomp default)"
+        )
+    fhs = f_pre_h = signs = corr1 = corr2 = None
+    if half:
+        nxg, nyg, nzg = cfg.grid_shape
+        hx, hy = nxg // 2, nyg // 2
+        kxm = jnp.asarray(np.arange(nxg) != hx, jnp.float32)
+        kym = jnp.asarray(np.arange(nyg) != hy, jnp.float32)
+        fmask = kxm[:, None, None] * kym[None, :, None]
+        # main-block spectrum: half z extent, x/y Nyquist rows zeroed
+        # (exact ±/0 multiplies), pre-swapped once for the y-first
+        # contraction order and presliced once for every kernel launch
+        f_main = jax.tree.map(lambda a: a[..., : nzg // 2] * fmask, f_hat)
+        fhs = ds._swap_last2(f_main)  # (Nx, Nz/2, Ny)
+        if preslice and jax.default_backend() == "tpu":
+            f_pre_h = oz.preslice_rows(fhs, cmax=cmax, w=slw, interpret=False)
+        ckc = _corr_ck(kern, cmax, slw, ftail)
+        corr1 = _nyq_corrections(cfg, pre, f_hat, ckc, conj=False)
+        corr2 = _nyq_corrections(cfg, pre, f_hat, ckc, conj=True)
+        signs = tuple(
+            jnp.asarray((-1.0) ** np.arange(n), jnp.float32)
+            for n in (nxg, nyg, nzg)
+        )
     # Pre-extract f_hat's bf16 chunk operands ONCE (oz.preslice_rows): every
     # repeat-mode z-axis contraction in the group loop (2 streams x groups x
     # sub-batches) otherwise re-slices the same spectrum in-kernel per node.
     # Only the Mosaic kernel path consumes them (the jnp twin slices inline,
     # bit-identically), so build them only where that path runs.
     f_pre = None
-    if nodemat and preslice and jax.default_backend() == "tpu":
+    if nodemat and not half and preslice and jax.default_backend() == "tpu":
         f_pre = oz.preslice_rows(f_hat, cmax=cmax, w=slw, interpret=False)
 
     def group(acc, xs):
-        if nodemat:
+        if half:
+            gw, b1, mxy1, mxy2, mzh1g, mzh2g, c1g, c2g = xs
+        elif nodemat:
             gw, b1, pm1, pm2 = xs  # per-radial-group table slices
         else:
             ax, ay, az, gw, b1 = xs
         s = None
         for j0 in range(0, ns, sb):
             sl = slice(j0, min(j0 + sb, ns))
-            if nodemat:
+            if half:
+                # exact half-spectrum streams: real main block + Nyquist
+                # corrections (tests/test_half_spectrum.py).  Both streams
+                # ride ONE set of kernel launches: per-node rows are
+                # independent, so concatenating the g1/g2 table slices on
+                # the node axis is bit-identical and halves the main-stage
+                # launch count (the stage is partly launch-overhead-bound).
+                take = lambda t: jax.tree.map(lambda a: a[sl], t)
+                cat = lambda a, b: jax.tree.map(
+                    lambda x, y: jnp.concatenate((x, y)), a, b
+                )
+                r12 = _g_main_half(
+                    fhs, f_pre_h,
+                    cat(take(mxy1[1]), take(mxy2[1])),
+                    cat(take(mxy1[0]), take(mxy2[0])),
+                    cat(take(mzh1g), take(mzh2g)),
+                    cmax, slw, ftail,
+                )
+                c = r12.hi.shape[0] // 2
+                r1 = jax.tree.map(lambda a: a[:c], r12)
+                r2 = jax.tree.map(lambda a: a[c:], r12)
+                g1 = _assemble_g_half(r1, take(c1g), signs)
+                g2 = _assemble_g_half(r2, take(c2g), signs)
+            elif nodemat:
                 # phase-folded per-node matrices: zero in-kernel phase math
                 m1 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm1)
                 m2 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm2)
@@ -387,11 +641,16 @@ def collide_ds(
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
     acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
-    xs = (
-        (pre.gain_w, pre.beta1, pre.pm1, pre.pm2)
-        if nodemat
-        else (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
-    )
+    if half:
+        xs = (
+            pre.gain_w, pre.beta1,
+            (pre.pm1[0], pre.pm1[1]), (pre.pm2[0], pre.pm2[1]),
+            pre.pmz_half1, pre.pmz_half2, corr1, corr2,
+        )
+    elif nodemat:
+        xs = (pre.gain_w, pre.beta1, pre.pm1, pre.pm2)
+    else:
+        xs = (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
     q_gain_hat, _ = jax.lax.scan(group, acc0, xs)
     if gain_reduce is not None:
         q_gain_hat = gain_reduce(q_gain_hat)
@@ -416,22 +675,34 @@ def default_contract() -> str:
     return "oz" if jax.default_backend() == "tpu" else "vpu"
 
 
+def default_g_stream(contract: str) -> str:
+    """Default g-stream formulation for ``collide_ds``'s oz engines: the
+    exact half-spectrum decomposition on TPU (measured 1.22x at 64^3/Ns=12
+    — 200.7 -> 164.7 ms/eval, BKW digits unchanged; benchmarks/ab_half.py),
+    the full complex streams elsewhere (the staged CPU paths see no MXU
+    win and the CPU test tier keeps the reference formulation hot).
+    ``collide_ds(g_stream=...)`` overrides either way."""
+    return "half" if jax.default_backend() == "tpu" else "full"
+
+
 def make_ds_collision_operator(
     cfg: CollisionConfig, jit: bool = True, dtype=np.float32,
     sub_batch: int = 2, contract: Optional[str] = None,
-    oz_cmax: Optional[int] = None,
+    oz_cmax: Optional[int] = None, g_stream: Optional[str] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
     Same factory shape as :func:`boltzfft.make_collision_operator`;
     ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
     ``contract=None`` resolves via :func:`default_contract`; ``oz_cmax``
-    is the Ozaki retention level (see :func:`collide_ds`).
+    is the Ozaki retention level and ``g_stream`` the inverse-stream
+    formulation (see :func:`collide_ds`).
     """
     pre = build_ds_precomp(cfg, dtype)
     fn = partial(
         collide_ds, cfg, sub_batch=sub_batch,
         contract=contract or default_contract(), oz_cmax=oz_cmax,
+        g_stream=g_stream,
     )
 
     def collide_fn(f, precomp):
@@ -464,11 +735,13 @@ def _pad_radial(pre: DsPrecomp, n_groups: int) -> DsPrecomp:
 
     padded = jax.tree.map(
         pad,
-        (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1, pre.pm1, pre.pm2),
+        (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1, pre.pm1, pre.pm2,
+         pre.pmz_half1, pre.pmz_half2, pre.nyq_coef),
     )
     return pre._replace(
         ax=padded[0], ay=padded[1], az=padded[2],
         gain_w=padded[3], beta1=padded[4], pm1=padded[5], pm2=padded[6],
+        pmz_half1=padded[7], pmz_half2=padded[8], nyq_coef=padded[9],
     )
 
 
@@ -483,6 +756,7 @@ def _ds_precomp_specs(radial_axis: Optional[str]):
         ax=shard, ay=shard, az=shard, gain_w=shard, beta1=shard,
         beta2=rep, vfwd=rep, vinv=rep, vfwd_sl=rep, vinv_sl=rep,
         pm1=shard, pm2=shard,
+        pmz_half1=shard, pmz_half2=shard, nyq_coef=shard,
     )
 
 
@@ -496,6 +770,7 @@ def make_sharded_ds_collision_operator(
     sub_batch: int = 2,
     contract: Optional[str] = None,
     oz_cmax: Optional[int] = None,
+    g_stream: Optional[str] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
 
@@ -536,7 +811,7 @@ def make_sharded_ds_collision_operator(
     def body(f, p):
         one = lambda fi: collide_ds(
             cfg, p, fi, sub_batch=sub_batch, contract=engine,
-            gain_reduce=reducer, oz_cmax=oz_cmax,
+            gain_reduce=reducer, oz_cmax=oz_cmax, g_stream=g_stream,
         )
         if ensemble_axis is not None:
             return jax.vmap(one)(f)

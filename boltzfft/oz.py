@@ -917,6 +917,7 @@ def contract_last_oz_nodemat(
     repeat: bool = False,
     fold_tail: Optional[int] = None,
     x_pre: Optional[PreslicedCDS] = None,
+    real_out: bool = False,
 ) -> CDS:
     """Per-node-matrix contraction: ``out[c, ..., l] = sum_k x[(c,) ..., k]
     * m[c, k, l]``.
@@ -968,7 +969,7 @@ def contract_last_oz_nodemat(
                 _oz_contract_v2_jnp(
                     *args, m.re[ci], m.im[ci],
                     w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
-                    fold_tail=fold_tail,
+                    real_out=real_out, fold_tail=fold_tail,
                 )
             )
         reh, rel, imh, iml = (
@@ -996,7 +997,7 @@ def contract_last_oz_nodemat(
         _oz_contract_kernel_v3,
         w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
         pin=False, has_hi=bhi is not None, node_mats=True,
-        fold_tail=fold_tail, presliced=x_pre is not None,
+        real_out=real_out, fold_tail=fold_tail, presliced=x_pre is not None,
     )
     if x_pre is not None:
         # shared operand arrives as pre-extracted bf16 chunks (preslice_rows)

@@ -185,3 +185,80 @@ def test_half_z_matrix_form():
     )
     half = np.real(t[:, : n // 2] @ M)
     np.testing.assert_allclose(half, full, rtol=0, atol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: collide_ds(g_stream="half")
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402  (conftest pins the CPU x64 backend)
+
+import boltzfft as bz  # noqa: E402
+from boltzfft import ds  # noqa: E402
+from boltzfft.ds_operator import build_ds_precomp, collide_ds  # noqa: E402
+
+
+def _noise_f(cfg, seed=0):
+    """Nyquist-rich adversarial input (white noise, positive)."""
+    rng = np.random.default_rng(seed)
+    return np.abs(rng.standard_normal(cfg.grid_shape)) + 0.1
+
+
+class TestHalfStreamPipeline:
+    def test_half_matches_vpu_on_nyquist_rich_input(self):
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=2, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu", sub_batch=6))
+        q_half = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="ozk", g_stream="half",
+                       sub_batch=6)
+        )
+        rel = np.max(np.abs(q_half - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel < 1e-12, rel  # measured ~1.4e-14 (ds noise floor)
+
+    @pytest.mark.slow
+    def test_half_matches_f64_reference(self):
+        # the same bar as the round-3 Nyquist regression test: an
+        # under-resolved input with O(1) Nyquist content must match the
+        # complex f64 reference to ds accuracy
+        rng = np.random.RandomState(7)
+        cfg64 = bz.CollisionConfig(nv=6, ns=6, n_radial=3, impl="c2c",
+                                   dtype="float64")
+        coll, pre64 = bz.make_collision_operator(cfg64)
+        g = cfg64.velocity_grid
+        f64 = np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64)
+        f64 = f64 * (1.0 + 0.3 * rng.rand(*f64.shape))
+        q_ref = np.asarray(coll(f64, pre64), np.float64)
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=3, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        q = ds.to_f64(
+            collide_ds(cfg, pre, ds.from_f64(f64), contract="ozk",
+                       g_stream="half", sub_batch=6)
+        )
+        rel = np.max(np.abs(q - q_ref)) / np.max(np.abs(q_ref))
+        assert rel < 1e-12, rel
+
+    @pytest.mark.slow
+    def test_half_anisotropic(self):
+        cfg = bz.CollisionConfig(nv=6, nvy=8, nvz=10, ns=6, n_radial=2,
+                                 impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=3))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu", sub_batch=6))
+        q_half = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="ozk", g_stream="half",
+                       sub_batch=6)
+        )
+        rel = np.max(np.abs(q_half - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel < 1e-12, rel
+
+    def test_half_requires_tables(self):
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=2, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg, node_mats=False)
+        f = ds.from_f64(_noise_f(cfg))
+        with pytest.raises(ValueError, match="half"):
+            collide_ds(cfg, pre, f, contract="ozk", g_stream="half")
