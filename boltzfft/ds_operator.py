@@ -588,8 +588,16 @@ def collide_ds(
                 c = r12.hi.shape[0] // 2
                 r1 = jax.tree.map(lambda a: a[:c], r12)
                 r2 = jax.tree.map(lambda a: a[c:], r12)
-                g1 = _assemble_g_half(r1, take(c1g), signs)
-                g2 = _assemble_g_half(r2, take(c2g), signs)
+                # fused reconstruct+Hadamard+weighted-sum: the dense
+                # complex g fields never touch HBM (staged assembly was
+                # ~40 ms of a 165 ms 64^3 eval); the off-TPU twin runs
+                # the staged assemble + hadamard twin in the same order
+                part = oz.hadamard_wsum_half(
+                    r1, take(c1g), r2, take(c2g), _cindex(gw, sl),
+                    cfg.grid_shape, signs, _assemble_g_half,
+                )
+                s = part if s is None else ds.cadd(s, part)
+                continue
             elif nodemat:
                 # phase-folded per-node matrices: zero in-kernel phase math
                 m1 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm1)

@@ -1159,6 +1159,185 @@ def hadamard_wsum(
     return CDS(DS(reh, rel), DS(imh, iml))
 
 
+def _hwh_layout(nx: int, ny: int, nz: int):
+    """Kernel layout for :func:`hadamard_wsum_half`: ``(lanes, jyp, slabs,
+    bm, m)`` with rows = nx*slabs, lanes = jyp*nz, bm = m*slabs — or None
+    when the grid does not tile (fall back to the staged twin).
+
+    Flat element (jx, jy, jz) sits at row ``jx*slabs + jy//jyp``, lane
+    ``(jy%jyp)*nz + jz`` — so a plane field broadcasts as: px cycles its
+    ``slabs`` row-slabs, py expands jz across lanes (0/1 selector dot),
+    pz (pre-arranged per row) expands jy-offset across lanes."""
+    for lanes in (1024, 512, 256, 128):
+        if nz <= lanes and lanes % nz == 0:
+            jyp = lanes // nz
+            if ny % jyp == 0:
+                slabs = ny // jyp
+                rows = nx * slabs
+                for bm in (32, 16, 8):
+                    if bm % slabs == 0 and rows % bm == 0:
+                        return lanes, jyp, slabs, bm, bm // slabs
+    return None
+
+
+def _hwh_kernel(*refs, m, slabs, jyp, nz, lanes, bm):
+    """Fused half-spectrum Hadamard: reconstruct g1/g2 in-register from the
+    real main blocks + plane corrections, then ``out += w_j*(g1_j.g2_j)``.
+
+    Expansions are exact: leading-dim slab cycling (broadcast+merge of
+    untiled dims) and 0/1 selector dots at HIGHEST precision (one product
+    per output, value*1.0 — exact on the MXU's f32 path)."""
+    j = pl.program_id(1)
+    (r1h, r1l, r2h, r2l) = refs[:4]
+    planes = refs[4:28]  # 2 streams x 3 planes x (reh, rel, imh, iml)
+    sx_ref, sy_ref, sz_ref, s1_ref, s2_ref, wh_ref, wl_ref = refs[28:35]
+    orh, orl, oih, oil = refs[35:]
+    opq = lambda v: v  # Mosaic emits the EFTs as written
+    hp = jax.lax.Precision.HIGHEST
+
+    # row r (in-tile) = (jx - jx0)*slabs + slab: slab-varying arrays cycle
+    # on the leading axis, jx-varying arrays repeat each row `slabs` times
+    cyc = lambda a: jnp.broadcast_to(
+        a[None], (m,) + a.shape
+    ).reshape((m * a.shape[0],) + a.shape[1:])
+    rep = lambda a: jnp.broadcast_to(
+        a[:, None], (a.shape[0], slabs) + a.shape[1:]
+    ).reshape((a.shape[0] * slabs,) + a.shape[1:])
+    sx = rep(sx_ref[...])  # (m, 1) -> (bm, 1), jx-varying
+    sy = cyc(sy_ref[...])  # (slabs, lanes) -> (bm, lanes), slab-varying
+    sz = sz_ref[...]  # (1, lanes)
+
+    def expand(which, ref):
+        a = ref[0]
+        if which == 0:  # px: (slabs, lanes) row-slab cycle
+            return cyc(a)
+        if which == 1:  # py: (m, nz) -> selector on jz, repeat per jx
+            return rep(jnp.dot(a, s1_ref[...], precision=hp,
+                               preferred_element_type=jnp.float32))
+        # pz rows: (bm, jyp) -> selector on jy-offset
+        return jnp.dot(a, s2_ref[...], precision=hp,
+                       preferred_element_type=jnp.float32)
+
+    def rebuild(rh, rl, pl6):
+        """g = r + sx.px + sy.py + sz.pz (same add order as the staged
+        _assemble_g_half; all pattern multiplies exact ±1)."""
+        pats = (sx, sy, sz)
+        gre = (rh[0], rl[0])
+        gim = None
+        for p in range(3):
+            reh_, rel_, imh_, iml_ = (
+                expand(p, pl6[4 * p + q]) for q in range(4)
+            )
+            pat = pats[p]
+            gre = _k_ds_add(gre[0], gre[1], pat * reh_, pat * rel_, opq)
+            t = (pat * imh_, pat * iml_)
+            gim = t if gim is None else _k_ds_add(gim[0], gim[1], *t, opq)
+        return gre, gim
+
+    g1re, g1im = rebuild(r1h, r1l, planes[:12])
+    g2re, g2im = rebuild(r2h, r2l, planes[12:])
+
+    rr = _k_mul(g1re[0], g1re[1], g2re[0], g2re[1], opq)
+    ii = _k_mul(g1im[0], g1im[1], g2im[0], g2im[1], opq)
+    ri = _k_mul(g1re[0], g1re[1], g2im[0], g2im[1], opq)
+    ir = _k_mul(g1im[0], g1im[1], g2re[0], g2re[1], opq)
+    hre = _k_ds_sub(rr[0], rr[1], ii[0], ii[1], opq)
+    him = _k_ds_add(ri[0], ri[1], ir[0], ir[1], opq)
+    wh = wh_ref[j]
+    wl = wl_ref[j]
+    tre = _k_mul(hre[0], hre[1], wh, wl, opq)
+    tim = _k_mul(him[0], him[1], wh, wl, opq)
+
+    @pl.when(j == 0)
+    def _():
+        orh[:], orl[:] = tre
+        oih[:], oil[:] = tim
+
+    @pl.when(j > 0)
+    def _():
+        rh2, rl2 = _k_ds_add(orh[:], orl[:], tre[0], tre[1], opq)
+        ih2, il2 = _k_ds_add(oih[:], oil[:], tim[0], tim[1], opq)
+        orh[:], orl[:] = rh2, rl2
+        oih[:], oil[:] = ih2, il2
+
+
+def hadamard_wsum_half(
+    r1: DS, c1, r2: DS, c2, w: DS, grid_shape, signs,
+    assemble_fn, kernel: Optional[bool] = None,
+) -> CDS:
+    """``sum_j w[j] * (g1[j] . g2[j])`` where each g is given FACTORED as a
+    real main block plus three plane corrections (the half-spectrum form,
+    :mod:`boltzfft.ds_operator`): the fused kernel reconstructs both
+    streams in-register, so the dense complex g fields never touch HBM —
+    staged, the assembly alone is ~10 broadcast ds-add passes per
+    sub-batch (measured ~40 ms of a 165 ms 64^3 eval).
+
+    ``c1``/``c2`` are ``(px, py, pz)`` CDS plane tuples (line/point terms
+    pre-folded); ``signs`` the per-axis ±1 parity vectors; ``assemble_fn``
+    the staged assembler used by the off-TPU twin (same op order)."""
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
+    nx, ny, nz = grid_shape
+    lay = _hwh_layout(nx, ny, nz) if kernel else None
+    if lay is None:
+        g1 = assemble_fn(r1, c1, signs)
+        g2 = assemble_fn(r2, c2, signs)
+        return _hadamard_wsum_jnp(g1, g2, w)
+    lanes, jyp, slabs, bm, m = lay
+    c = r1.hi.shape[0]
+    rows = nx * slabs
+    sxv, syv, szv = signs
+
+    fr = lambda a: a.reshape(c, rows, lanes).astype(jnp.float32)
+    fx = lambda a: a.reshape(c, slabs, lanes).astype(jnp.float32)
+    fy = lambda a: a.astype(jnp.float32)  # (c, nx, nz)
+    fz = lambda a: a.reshape(c, rows, jyp).astype(jnp.float32)
+    planes = []
+    for cs in (c1, c2):
+        px, py, pz = cs
+        for field, f in ((px, fx), (py, fy), (pz, fz)):
+            planes += [f(field.re.hi), f(field.re.lo),
+                       f(field.im.hi), f(field.im.lo)]
+    sy_pat = (
+        syv.reshape(slabs, jyp)[:, :, None]
+        * jnp.ones((1, 1, nz), jnp.float32)
+    ).reshape(slabs, lanes)
+    sz_lane = jnp.tile(szv, jyp).reshape(1, lanes)
+    kz = np.arange(lanes) % nz
+    ky = np.arange(lanes) // nz
+    s1 = jnp.asarray((np.arange(nz)[:, None] == kz[None, :]), jnp.float32)
+    s2 = jnp.asarray((np.arange(jyp)[:, None] == ky[None, :]), jnp.float32)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_spec = pl.BlockSpec((1, bm, lanes), lambda i, j: (j, i, 0))
+    px_spec = pl.BlockSpec((1, slabs, lanes), lambda i, j: (j, 0, 0))
+    py_spec = pl.BlockSpec((1, m, nz), lambda i, j: (j, i, 0))
+    pz_spec = pl.BlockSpec((1, bm, jyp), lambda i, j: (j, i, 0))
+    plane_specs = ([px_spec] * 4 + [py_spec] * 4 + [pz_spec] * 4) * 2
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim)
+    sx_col = sxv.reshape(nx, 1)
+    sx_spec = pl.BlockSpec((m, 1), lambda i, j: (i, 0))
+    w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    o_spec = pl.BlockSpec((bm, lanes), lambda i, j: (i, 0))
+    out = pl.pallas_call(
+        partial(_hwh_kernel, m=m, slabs=slabs, jyp=jyp, nz=nz,
+                lanes=lanes, bm=bm),
+        grid=(rows // bm, c),
+        in_specs=[r_spec] * 4 + plane_specs
+        + [sx_spec, const(sy_pat), const(sz_lane), const(s1), const(s2),
+           w_spec, w_spec],
+        out_specs=[o_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 4,
+    )(
+        fr(r1.hi), fr(r1.lo), fr(r2.hi), fr(r2.lo), *planes,
+        sx_col, sy_pat, sz_lane, s1, s2,
+        w.hi.astype(jnp.float32), w.lo.astype(jnp.float32),
+    )
+    reh, rel, imh, iml = (a.reshape(grid_shape) for a in out)
+    return CDS(DS(reh, rel), DS(imh, iml))
+
+
 def transform3_oz_phased(
     f_hat: CDS,
     m,
