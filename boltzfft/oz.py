@@ -1180,7 +1180,7 @@ def _hwh_layout(nx: int, ny: int, nz: int):
     return None
 
 
-def _hwh_kernel(*refs, m, slabs, jyp, nz, lanes, bm):
+def _hwh_kernel(*refs, m, slabs):
     """Fused half-spectrum Hadamard: reconstruct g1/g2 in-register from the
     real main blocks + plane corrections, then ``out += w_j*(g1_j.g2_j)``.
 
@@ -1321,8 +1321,7 @@ def hadamard_wsum_half(
     w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     o_spec = pl.BlockSpec((bm, lanes), lambda i, j: (i, 0))
     out = pl.pallas_call(
-        partial(_hwh_kernel, m=m, slabs=slabs, jyp=jyp, nz=nz,
-                lanes=lanes, bm=bm),
+        partial(_hwh_kernel, m=m, slabs=slabs),
         grid=(rows // bm, c),
         in_specs=[r_spec] * 4 + plane_specs
         + [sx_spec, const(sy_pat), const(sz_lane), const(s1), const(s2),
