@@ -75,3 +75,21 @@ class TestRadialSharding:
         scale = np.abs(q_ref).max()
         for i in range(e):
             np.testing.assert_allclose(q_sh[i], q_ref, atol=1e-13 * scale)
+
+
+class TestHalfStreamSharding:
+    @pytest.mark.slow
+    def test_half_matches_single_device(self):
+        # the half-spectrum g-streams under shard_map: pmz_half tables and
+        # correction phase tables shard on the radial axis with the rest
+        cfg, f = _setup(nv=6, ns=6, n_radial=4)
+        coll_ref, pre_ref = bz.make_ds_collision_operator(cfg, contract="vpu")
+        q_ref = ds.to_f64(coll_ref(f, pre_ref))
+
+        mesh = bz.make_mesh([(bz.NODE_AXIS, 2)])
+        coll_sh, pre_sh = bz.make_sharded_ds_collision_operator(
+            cfg, mesh, contract="ozk", g_stream="half", sub_batch=6
+        )
+        q_sh = ds.to_f64(coll_sh(f, bz.place_ds(pre_sh, mesh)))
+        scale = np.abs(q_ref).max()
+        np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * scale)
