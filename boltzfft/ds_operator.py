@@ -596,7 +596,10 @@ def collide_ds(
                     r1, take(c1g), r2, take(c2g), _cindex(gw, sl),
                     cfg.grid_shape, signs, _assemble_g_half,
                 )
-                s = part if s is None else ds.cadd(s, part)
+                # part is Re(sum w h) only — Im(h) provably never reaches
+                # Q (see hadamard_wsum_half), so the group sum stays a
+                # REAL field and the forward transform below runs real_in
+                s = part if s is None else ds.add(s, part)
                 continue
             elif nodemat:
                 # phase-folded per-node matrices: zero in-kernel phase math
@@ -645,7 +648,10 @@ def collide_ds(
                 for j in range(h.re.hi.shape[0]):
                     term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
                     s = term if s is None else ds.cadd(s, term)
-        h_hat = tf_fwd(s)
+        if half:
+            h_hat = tf_fwd(ds.cds_from_real(s), real_in=True)
+        else:
+            h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
     acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)

@@ -1191,7 +1191,7 @@ def _hwh_kernel(*refs, m, slabs):
     (r1h, r1l, r2h, r2l) = refs[:4]
     planes = refs[4:28]  # 2 streams x 3 planes x (reh, rel, imh, iml)
     sx_ref, sy_ref, sz_ref, s1_ref, s2_ref, wh_ref, wl_ref = refs[28:35]
-    orh, orl, oih, oil = refs[35:]
+    orh, orl = refs[35:]
     opq = lambda v: v  # Mosaic emits the EFTs as written
     hp = jax.lax.Precision.HIGHEST
 
@@ -1237,34 +1237,33 @@ def _hwh_kernel(*refs, m, slabs):
     g1re, g1im = rebuild(r1h, r1l, planes[:12])
     g2re, g2im = rebuild(r2h, r2l, planes[12:])
 
+    # Re(h) only: Im(h) contributes EXACTLY nothing to Q (the final
+    # Re(IFFT(.)) kills anti-Hermitian spectra and beta1 is real and
+    # l -> -l symmetric — see hadamard_wsum_half's docstring), so the two
+    # imaginary-product ds multiplies are dropped.  The epsilon streams
+    # (g_im) still enter Re(h) through the ii term — the part whose
+    # omission is the documented incorrect g-realness shortcut.
     rr = _k_mul(g1re[0], g1re[1], g2re[0], g2re[1], opq)
     ii = _k_mul(g1im[0], g1im[1], g2im[0], g2im[1], opq)
-    ri = _k_mul(g1re[0], g1re[1], g2im[0], g2im[1], opq)
-    ir = _k_mul(g1im[0], g1im[1], g2re[0], g2re[1], opq)
     hre = _k_ds_sub(rr[0], rr[1], ii[0], ii[1], opq)
-    him = _k_ds_add(ri[0], ri[1], ir[0], ir[1], opq)
     wh = wh_ref[j]
     wl = wl_ref[j]
     tre = _k_mul(hre[0], hre[1], wh, wl, opq)
-    tim = _k_mul(him[0], him[1], wh, wl, opq)
 
     @pl.when(j == 0)
     def _():
         orh[:], orl[:] = tre
-        oih[:], oil[:] = tim
 
     @pl.when(j > 0)
     def _():
         rh2, rl2 = _k_ds_add(orh[:], orl[:], tre[0], tre[1], opq)
-        ih2, il2 = _k_ds_add(oih[:], oil[:], tim[0], tim[1], opq)
         orh[:], orl[:] = rh2, rl2
-        oih[:], oil[:] = ih2, il2
 
 
 def hadamard_wsum_half(
     r1: DS, c1, r2: DS, c2, w: DS, grid_shape, signs,
     assemble_fn, kernel: Optional[bool] = None,
-) -> CDS:
+) -> DS:
     """``sum_j w[j] * (g1[j] . g2[j])`` where each g is given FACTORED as a
     real main block plus three plane corrections (the half-spectrum form,
     :mod:`boltzfft.ds_operator`): the fused kernel reconstructs both
@@ -1274,7 +1273,17 @@ def hadamard_wsum_half(
 
     ``c1``/``c2`` are ``(px, py, pz)`` CDS plane tuples (line/point terms
     pre-folded); ``signs`` the per-axis ±1 parity vectors; ``assemble_fn``
-    the staged assembler used by the off-TPU twin (same op order)."""
+    the staged assembler used by the off-TPU twin (same op order).
+
+    Returns only ``Re(sum w h)`` as a DS — EXACT, not an approximation:
+    the pipeline consumes this through ``Re(IFFT(beta1 * FFT(.)))`` per
+    radial group, beta1 is real and ``l -> -l`` symmetric (it depends on
+    ``|l|`` with Nyquist mapping to itself), and the anti-Hermitian part
+    of ``FFT(s)`` — exactly ``FFT(i Im s)`` — yields a purely imaginary
+    IFFT that the final real projection annihilates.  So ``Im(s)`` can
+    never reach Q.  (This is NOT the rejected g-realness shortcut: the
+    epsilon streams still enter ``Re(h) = R1 R2 - E1 E2`` exactly; only
+    the provably-annihilated imaginary output is skipped.)"""
     if kernel is None:
         kernel = jax.default_backend() == "tpu"
     nx, ny, nz = grid_shape
@@ -1282,7 +1291,7 @@ def hadamard_wsum_half(
     if lay is None:
         g1 = assemble_fn(r1, c1, signs)
         g2 = assemble_fn(r2, c2, signs)
-        return _hadamard_wsum_jnp(g1, g2, w)
+        return _hadamard_wsum_jnp(g1, g2, w).re  # Re only, see above
     lanes, jyp, slabs, bm, m = lay
     c = r1.hi.shape[0]
     rows = nx * slabs
@@ -1326,15 +1335,15 @@ def hadamard_wsum_half(
         in_specs=[r_spec] * 4 + plane_specs
         + [sx_spec, const(sy_pat), const(sz_lane), const(s1), const(s2),
            w_spec, w_spec],
-        out_specs=[o_spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 4,
+        out_specs=[o_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 2,
     )(
         fr(r1.hi), fr(r1.lo), fr(r2.hi), fr(r2.lo), *planes,
         sx_col, sy_pat, sz_lane, s1, s2,
         w.hi.astype(jnp.float32), w.lo.astype(jnp.float32),
     )
-    reh, rel, imh, iml = (a.reshape(grid_shape) for a in out)
-    return CDS(DS(reh, rel), DS(imh, iml))
+    reh, rel = (a.reshape(grid_shape) for a in out)
+    return DS(reh, rel)
 
 
 def transform3_oz_phased(
