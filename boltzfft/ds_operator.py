@@ -81,6 +81,24 @@ class DsPrecomp(NamedTuple):
     pmz_half1: Optional[oz.CSlicedMatrix] = None
     pmz_half2: Optional[oz.CSlicedMatrix] = None
     nyq_coef: Optional[tuple] = None
+    # Stream-1 WEIGHT-FOLDED half tables: ``pmz_half1`` times the per-node
+    # quadrature weight ``gain_w`` and the matching scaled Nyquist
+    # coefficients, both exact host-f64 products.  The half path contracts
+    # stream 1 with these so the Hadamard kernel skips the per-node ds
+    # weight multiply entirely (hadamard_wsum_half(w=None)).
+    pmz_half1w: Optional[oz.CSlicedMatrix] = None
+    nyq_coef_w: Optional[tuple] = None
+    # Hermitian-downstream tables (half path): the group sum ``s`` is REAL,
+    # so ``FFT(s)`` — and by linearity the whole gain spectrum, and the loss
+    # spectrum ``beta2*f_hat`` — is exactly Hermitian: everything after the
+    # Hadamard runs on the half-z spectrum (kz < Nz/2) plus one Nyquist
+    # plane.  ``vfwd_zh_sl`` is the forward z matrix restricted to those
+    # output columns ((Nz, Nz/2)); ``vinv_zh_sl`` the SHARED inverse half-z
+    # matrix ``wt_k * exp(+2i pi k jz/Nz)/Nz`` with Hermitian pair weights
+    # wt = (1, 2, 2, ...) — a real_out contraction reconstructing the real
+    # field from half depth (same math as the per-node pmz_half tables).
+    vfwd_zh_sl: Optional[oz.CSlicedMatrix] = None
+    vinv_zh_sl: Optional[oz.CSlicedMatrix] = None
 
 
 _UPLOAD_SLICE_BYTES = 4 << 20  # remote-TPU tunnels choke on large one-shot H2D
@@ -197,7 +215,8 @@ def build_ds_precomp(
         fx, fy, fz = folded(0), folded(1), folded(2)
         pm1 = (fx[0], fy[0], fz[0])
         pm2 = (fx[1], fy[1], fz[1])
-    pmz_half1 = pmz_half2 = nyq_coef = None
+    pmz_half1 = pmz_half2 = pmz_half1w = nyq_coef = nyq_coef_w = None
+    vfwd_zh_sl = vinv_zh_sl = None
     if node_mats and nx % 2 == ny % 2 == nz % 2 == 0:
         # half-spectrum g-stream tables (see the DsPrecomp field comment +
         # tests/test_half_spectrum.py for the validated math)
@@ -211,20 +230,31 @@ def build_ds_precomp(
         mzh = wt[None, None] * ejz[None, None]
         pmz_half1 = oz.slice_matrix_nodes(pz * mzh, slm, slw)
         pmz_half2 = oz.slice_matrix_nodes(np.conj(pz) * mzh, slm, slw)
+        # stream-1 weight fold: one exact host-f64 product replaces the
+        # Hadamard kernel's per-node ds weight multiply
+        gw4 = gain_w[:, :, None, None]
+        pmz_half1w = oz.slice_matrix_nodes(pz * mzh * gw4, slm, slw)
+        # Hermitian-downstream shared z matrices (see the field comment):
+        # forward restricted to kz < Nz/2; inverse = the pair-weighted
+        # half-depth real_out matrix (the shared core of the pmz tables)
+        vfwd_zh_sl = oz.slice_matrix(pairs[2][0][:, :nzh], slm, slw)
+        vinv_zh_sl = oz.slice_matrix((wt * ejz), slm, slw)
         nus = [
             axis_phase_c128(a)[..., n // 2]
             for a, n in zip(range(3), (nx, ny, nz))
         ]  # per-node Nyquist phase values nu_a, (n_gl, ns) complex
         csplit = lambda z: ds.cds_from_f64(z, dtype)
-        nyq_coef = (
-            csplit(nus[0] / nx),
-            csplit(nus[1] / ny),
-            csplit(nus[2] / nz),
-            csplit(nus[1] * nus[2] / (ny * nz)),  # line with free axis x
-            csplit(nus[0] * nus[2] / (nx * nz)),  # free axis y
-            csplit(nus[0] * nus[1] / (nx * ny)),  # free axis z
-            csplit(nus[0] * nus[1] * nus[2] / (nx * ny * nz)),
+        raw_coef = (
+            nus[0] / nx,
+            nus[1] / ny,
+            nus[2] / nz,
+            nus[1] * nus[2] / (ny * nz),  # line with free axis x
+            nus[0] * nus[2] / (nx * nz),  # free axis y
+            nus[0] * nus[1] / (nx * ny),  # free axis z
+            nus[0] * nus[1] * nus[2] / (nx * ny * nz),
         )
+        nyq_coef = tuple(csplit(c) for c in raw_coef)
+        nyq_coef_w = tuple(csplit(c * gain_w) for c in raw_coef)
     return DsPrecomp(
         ax=axis_phase(0),
         ay=axis_phase(1),
@@ -241,6 +271,10 @@ def build_ds_precomp(
         pmz_half1=pmz_half1,
         pmz_half2=pmz_half2,
         nyq_coef=nyq_coef,
+        pmz_half1w=pmz_half1w,
+        nyq_coef_w=nyq_coef_w,
+        vfwd_zh_sl=vfwd_zh_sl,
+        vinv_zh_sl=vinv_zh_sl,
     )
 
 
@@ -295,7 +329,7 @@ def _corr_ck(kern, cmax, w, ftail):
     )
 
 
-def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool):
+def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool, coef=None):
     """Coefficient-folded Nyquist-block correction fields for ALL nodes of
     one g stream (batched: a handful of kernel launches per eval).
 
@@ -306,6 +340,9 @@ def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool):
     plane CDS fields (leading (n_gl, ns)) with the line/point blocks
     pre-folded in and every exact host-f64 coefficient applied — see the
     fold note below.
+
+    ``coef`` overrides the coefficient tuple (default ``pre.nyq_coef``);
+    the pipeline passes the weight-folded ``pre.nyq_coef_w`` for stream 1.
     """
     nx, ny, nz = cfg.grid_shape
     hx, hy, hz = nx // 2, ny // 2, nz // 2
@@ -319,7 +356,8 @@ def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool):
         (vs, vs, vs) if isinstance(vs, oz.CSlicedMatrix) else tuple(vs)
     )
     ph = (pre.ax, pre.ay, pre.az)
-    coef = pre.nyq_coef
+    if coef is None:
+        coef = pre.nyq_coef
     if conj:
         ph = tuple(_cconj(p) for p in ph)
         coef = tuple(_cconj(c) for c in coef)
@@ -397,6 +435,98 @@ def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail):
     return ck(t, m_zh, real_out=True).re  # (C, Nx, Ny, Nz) real
 
 
+def _ds_sum_last(x: DS) -> DS:
+    """Compensated pairwise sum of a DS over its last axis (every add is a
+    ds add; the tree order is fixed, so the result is deterministic)."""
+    cur = x
+    n = cur.hi.shape[-1]
+    while n > 1:
+        m = n // 2
+        a = jax.tree.map(lambda t: t[..., :m], cur)
+        b = jax.tree.map(lambda t: t[..., m : 2 * m], cur)
+        s = ds.add(a, b)
+        if n % 2:
+            tail = jax.tree.map(lambda t: t[..., 2 * m :], cur)
+            s = jax.tree.map(
+                lambda u, v: jnp.concatenate((u, v), axis=-1), s, tail
+            )
+            n = m + 1
+        else:
+            n = m
+        cur = s
+    return jax.tree.map(lambda t: t[..., 0], cur)
+
+
+def _fwd_herm_half(s: DS, ck, m_xy, m_zh, szv):
+    """Forward transform of a REAL field onto the Hermitian half-z spectrum.
+
+    Returns ``(main, q)``: the main block (kz < Nz/2 — bit-identical to
+    those columns of the full transform: same dot rows, fewer output
+    columns) and the REAL z-Nyquist line sum ``q = sum_z s*(-1)^z`` whose
+    2-D forward transform is the Nyquist plane (batched across radial
+    groups by the caller — per-group 2-D transforms are tiny
+    launch-overhead-bound kernels).  Exact: for real s the spectrum is
+    Hermitian, so the discarded half is the conjugate mirror of the kept
+    one (index convention ``F[(N-k)%N] = conj(F[k])``) and carries no
+    information."""
+    mx, my = m_xy
+    u = ck(ds.cds_from_real(s), m_zh, real_in=True)  # (..., Nx, Ny, Nzh)
+    u = ds._swap_last2(ck(ds._swap_last2(u), my))
+    u = ds._roll_axis(ck(ds._roll_axis(u, -3, -1), mx), -1, -3)
+    q = _ds_sum_last(DS(s.hi * szv, s.lo * szv))  # (..., Nx, Ny) real
+    return u, q
+
+
+def _fwd2_batched(q: DS, ck, m_xy) -> CDS:
+    """Batched 2-D forward transform of real fields (the Nyquist planes of
+    every radial group in one launch set)."""
+    mx, my = m_xy
+    p = ck(ds.cds_from_real(q), my, real_in=True)
+    return ds._swap_last2(ck(ds._swap_last2(p), mx))
+
+
+def _cds_sum_first(x: CDS) -> CDS:
+    """Compensated pairwise sum of a CDS over its FIRST axis (fixed tree
+    order — deterministic)."""
+    cur = x
+    n = cur.re.hi.shape[0]
+    while n > 1:
+        m = n // 2
+        a = jax.tree.map(lambda t: t[:m], cur)
+        b = jax.tree.map(lambda t: t[m : 2 * m], cur)
+        s = ds.cadd(a, b)
+        if n % 2:
+            tail = jax.tree.map(lambda t: t[2 * m :], cur)
+            s = jax.tree.map(
+                lambda u, v: jnp.concatenate((u, v), axis=0), s, tail
+            )
+            n = m + 1
+        else:
+            n = m
+        cur = s
+    return jax.tree.map(lambda t: t[0], cur)
+
+
+def _inv_herm_half(u: CDS, p: CDS, ck, m_xy, m_zh, nz: int, szv) -> DS:
+    """``Re(IFFT3(.))`` of a Hermitian spectrum given as half-z main block +
+    z-Nyquist plane: y/x inverses at half depth, then the pair-weighted
+    half-depth real_out z contraction (``DsPrecomp.vinv_zh_sl``); the plane
+    inverts in 2-D and enters as ``Re(.)*(-1)^z/Nz`` (exact: after the x/y
+    inverses of a Hermitian spectrum the kz=0 and Nyquist slabs are real,
+    and ``(-1)^z`` is real, so the projection commutes)."""
+    mx, my = m_xy
+    u = ds._swap_last2(ck(ds._swap_last2(u), my))
+    u = ds._roll_axis(ck(ds._roll_axis(u, -3, -1), mx), -1, -3)
+    main = ck(u, m_zh, real_out=True).re  # (..., Nx, Ny, Nz) real
+    p = ck(p, my)
+    pr = ds._swap_last2(ck(ds._swap_last2(p), mx, real_out=True)).re
+    # z-axis inverse normalization: 1/Nz as an exactly-split ds constant
+    # (a bare f32 scalar rounds at 2^-24 for non-power-of-two Nz)
+    pr = ds.mul(pr, ds.from_f64(np.float64(1.0) / nz))
+    corr = DS(pr.hi[..., None] * szv, pr.lo[..., None] * szv)
+    return ds.add(main, corr)
+
+
 def _assemble_g_half(r_main: DS, corr, signs) -> CDS:
     """Dense complex g from the real main block + Nyquist corrections.
 
@@ -430,6 +560,7 @@ def collide_ds(
     oz_cmax: Optional[int] = None,
     preslice: bool = True,
     g_stream: Optional[str] = None,
+    herm_downstream: Optional[bool] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -464,6 +595,14 @@ def collide_ds(
     ``preslice`` (oz engine on TPU): extract f_hat's bf16 chunk operands
     once per eval instead of in-kernel per node (bit-identical output; see
     :func:`boltzfft.oz.preslice_rows`).  Off by choice only for A/B timing.
+
+    ``herm_downstream`` (half path): the group sums are real, so everything
+    downstream of the Hadamard — forward transforms, beta1 accumulator,
+    final inverses — can run on the exactly-Hermitian half-z spectrum plus
+    one Nyquist plane.  Exact either way (white-noise vpu parity ~2e-14).
+    Default ``None`` = measured auto rule: on for grids ≤ 32 per axis
+    (44.1 vs 43.2 evals/s at 32^3), off above (in-pipeline scheduling eats
+    the FLOP saving: 6.54 vs 6.73 at 64^3 — see the setup comment).
 
     ``g_stream`` (oz/ozk engines, even grids): ``"half"`` evaluates the
     per-node inverse streams via the exact half-spectrum Nyquist-block
@@ -521,11 +660,12 @@ def collide_ds(
     nodemat = phased and pre.pm1 is not None
     kern = True if contract == "ozk" else None
     gs = default_g_stream(contract) if g_stream is None else g_stream
-    half = gs == "half" and nodemat and pre.pmz_half1 is not None
+    half = gs == "half" and nodemat and pre.pmz_half1w is not None
     if g_stream == "half" and not half:
         raise ValueError(
             "g_stream='half' needs an oz/ozk engine with node_mats tables "
-            "on an all-even grid (build_ds_precomp default)"
+            "on an all-even grid (build_ds_precomp default; precomps built "
+            "before the weight-folded tables existed must be rebuilt)"
         )
     fhs = f_pre_h = signs = corr1 = corr2 = None
     if half:
@@ -542,12 +682,38 @@ def collide_ds(
         if preslice and jax.default_backend() == "tpu":
             f_pre_h = oz.preslice_rows(fhs, cmax=cmax, w=slw, interpret=False)
         ckc = _corr_ck(kern, cmax, slw, ftail)
-        corr1 = _nyq_corrections(cfg, pre, f_hat, ckc, conj=False)
+        # stream 1 carries the per-node quadrature weight (host-folded into
+        # its z-half matrices and Nyquist coefficients), so the Hadamard
+        # kernel sums plain products (w=None)
+        corr1 = _nyq_corrections(
+            cfg, pre, f_hat, ckc, conj=False, coef=pre.nyq_coef_w
+        )
         corr2 = _nyq_corrections(cfg, pre, f_hat, ckc, conj=True)
         signs = tuple(
             jnp.asarray((-1.0) ** np.arange(n), jnp.float32)
             for n in (nxg, nyg, nzg)
         )
+        # Hermitian downstream: the group sums are real, so the gain/loss
+        # spectra are exactly Hermitian — forward transforms, the beta1
+        # accumulator, and the final inverses can run on the half-z
+        # spectrum plus one Nyquist plane (see _fwd_herm_half).  Default by
+        # measured crossover (single-session A/B, TPU v5e, Ns=12): wins at
+        # 32^3 (44.1 vs 43.2 evals/s), loses at 48^3 (11.59 vs 11.71) and
+        # 64^3 (6.54 vs 6.73) — in isolation the half-depth forward is 1.3x
+        # faster even at 64^3 (benchmarks/_probe_herm.py), but in-pipeline
+        # the smaller row blocks schedule worse against the scan; only the
+        # end-to-end number counts.
+        if herm_downstream is None:
+            herm_downstream = max(cfg.grid_shape) <= 32
+        herm = herm_downstream and pre.vfwd_zh_sl is not None
+        nzh = nzg // 2
+        _xy = lambda m: (m, m) if isinstance(m, oz.CSlicedMatrix) else (
+            m[0], m[1]
+        )
+        fwd_xy, inv_xy = _xy(pre.vfwd_sl), _xy(pre.vinv_sl)
+        if herm:
+            beta1h = jax.tree.map(lambda a: a[..., :nzh], pre.beta1)
+            beta1p = jax.tree.map(lambda a: a[..., nzh], pre.beta1)
     # Pre-extract f_hat's bf16 chunk operands ONCE (oz.preslice_rows): every
     # repeat-mode z-axis contraction in the group loop (2 streams x groups x
     # sub-batches) otherwise re-slices the same spectrum in-kernel per node.
@@ -559,7 +725,10 @@ def collide_ds(
 
     def group(acc, xs):
         if half:
-            gw, b1, mxy1, mxy2, mzh1g, mzh2g, c1g, c2g = xs
+            # first element: beta1 restricted to the half-z block (herm
+            # downstream) or the full beta1 rows (A/B fallback)
+            b1h = b1 = xs[0]
+            _, mxy1, mxy2, mzh1g, mzh2g, c1g, c2g = xs
         elif nodemat:
             gw, b1, pm1, pm2 = xs  # per-radial-group table slices
         else:
@@ -593,7 +762,7 @@ def collide_ds(
                 # ~40 ms of a 165 ms 64^3 eval); the off-TPU twin runs
                 # the staged assemble + hadamard twin in the same order
                 part = oz.hadamard_wsum_half(
-                    r1, take(c1g), r2, take(c2g), _cindex(gw, sl),
+                    r1, take(c1g), r2, take(c2g), None,
                     cfg.grid_shape, signs, _assemble_g_half,
                 )
                 # part is Re(sum w h) only — Im(h) provably never reaches
@@ -648,24 +817,66 @@ def collide_ds(
                 for j in range(h.re.hi.shape[0]):
                     term = ds.cmul_ds(_cindex(h, j), _cindex(gw, j0 + j))
                     s = term if s is None else ds.cadd(s, term)
+        if half and herm:
+            hm, q = _fwd_herm_half(
+                s, ckc, fwd_xy, pre.vfwd_zh_sl, signs[2]
+            )
+            # the plane transform is batched across groups after the scan
+            # (per-group 2-D kernels are launch-overhead-bound); q rides out
+            # as a scan output
+            return ds.cadd(acc, ds.cmul_ds(hm, b1h)), q
         if half:
             h_hat = tf_fwd(ds.cds_from_real(s), real_in=True)
         else:
             h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
 
-    acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
     if half:
+        nxg, nyg, nzg = cfg.grid_shape
+        acc0 = (
+            ds.czeros((nxg, nyg, nzg // 2), f.hi.dtype)
+            if herm else ds.czeros(cfg.grid_shape, f.hi.dtype)
+        )
         xs = (
-            pre.gain_w, pre.beta1,
+            beta1h if herm else pre.beta1,
             (pre.pm1[0], pre.pm1[1]), (pre.pm2[0], pre.pm2[1]),
-            pre.pmz_half1, pre.pmz_half2, corr1, corr2,
+            pre.pmz_half1w, pre.pmz_half2, corr1, corr2,
         )
     elif nodemat:
+        acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
         xs = (pre.gain_w, pre.beta1, pre.pm1, pre.pm2)
     else:
+        acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
         xs = (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1)
-    q_gain_hat, _ = jax.lax.scan(group, acc0, xs)
+    q_gain_hat, qs = jax.lax.scan(group, acc0, xs)
+
+    if half and herm:
+        # Hermitian finale: the loss spectrum beta2*f_hat is Hermitian too
+        # (f real), so it rides the same half-z main + Nyquist-plane
+        # inverse, stacked with the gain on a leading axis (one launch set).
+        # The per-group Nyquist line sums q transform in ONE batched 2-D
+        # launch set, then beta1-weight and fold (compensated, fixed order).
+        am = q_gain_hat
+        ap = _cds_sum_first(
+            ds.cmul_ds(_fwd2_batched(qs, ckc, fwd_xy), beta1p)
+        )
+        if gain_reduce is not None:
+            am, ap = gain_reduce(am), gain_reduce(ap)
+        b2h = jax.tree.map(lambda a: a[..., :nzh], pre.beta2)
+        b2p = jax.tree.map(lambda a: a[..., nzh], pre.beta2)
+        fh = jax.tree.map(lambda a: a[..., :nzh], f_hat)
+        fp = jax.tree.map(lambda a: a[..., nzh], f_hat)
+        stk = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.stack((x, y)), a, b
+        )
+        inv = _inv_herm_half(
+            stk(am, ds.cmul_ds(fh, b2h)), stk(ap, ds.cmul_ds(fp, b2p)),
+            ckc, inv_xy, pre.vinv_zh_sl, nzg, signs[2],
+        )
+        q_gain = jax.tree.map(lambda a: a[0], inv)
+        loss = jax.tree.map(lambda a: a[1], inv)
+        return ds.sub(q_gain, ds.mul(loss, f))
+
     if gain_reduce is not None:
         q_gain_hat = gain_reduce(q_gain_hat)
 
@@ -750,12 +961,14 @@ def _pad_radial(pre: DsPrecomp, n_groups: int) -> DsPrecomp:
     padded = jax.tree.map(
         pad,
         (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1, pre.pm1, pre.pm2,
-         pre.pmz_half1, pre.pmz_half2, pre.nyq_coef),
+         pre.pmz_half1, pre.pmz_half2, pre.nyq_coef,
+         pre.pmz_half1w, pre.nyq_coef_w),
     )
     return pre._replace(
         ax=padded[0], ay=padded[1], az=padded[2],
         gain_w=padded[3], beta1=padded[4], pm1=padded[5], pm2=padded[6],
         pmz_half1=padded[7], pmz_half2=padded[8], nyq_coef=padded[9],
+        pmz_half1w=padded[10], nyq_coef_w=padded[11],
     )
 
 
@@ -771,6 +984,8 @@ def _ds_precomp_specs(radial_axis: Optional[str]):
         beta2=rep, vfwd=rep, vinv=rep, vfwd_sl=rep, vinv_sl=rep,
         pm1=shard, pm2=shard,
         pmz_half1=shard, pmz_half2=shard, nyq_coef=shard,
+        pmz_half1w=shard, nyq_coef_w=shard,
+        vfwd_zh_sl=rep, vinv_zh_sl=rep,
     )
 
 

@@ -1063,15 +1063,17 @@ def transform3_oz_nodemat(
     return x
 
 
-def _hadamard_wsum_jnp(g1: CDS, g2: CDS, w: DS) -> CDS:
+def _hadamard_wsum_jnp(g1: CDS, g2: CDS, w: Optional[DS]) -> CDS:
     """Staged (pinned-EFT) twin of the fused Hadamard kernel: the exact op
-    sequence collide_ds used before the kernel existed."""
+    sequence collide_ds used before the kernel existed.  ``w=None`` sums the
+    plain Hadamard products (the weight-folded half-spectrum path: the
+    per-node quadrature weight is pre-folded into the g1 stream's tables)."""
     h = ds.cmul(g1, g2)
     s = None
     for j in range(h.re.hi.shape[0]):
-        term = ds.cmul_ds(
-            jax.tree.map(lambda a: a[j], h), jax.tree.map(lambda a: a[j], w)
-        )
+        term = jax.tree.map(lambda a: a[j], h)
+        if w is not None:
+            term = ds.cmul_ds(term, jax.tree.map(lambda a: a[j], w))
         s = term if s is None else ds.cadd(s, term)
     return s
 
@@ -1180,9 +1182,12 @@ def _hwh_layout(nx: int, ny: int, nz: int):
     return None
 
 
-def _hwh_kernel(*refs, m, slabs):
+def _hwh_kernel(*refs, m, slabs, weighted):
     """Fused half-spectrum Hadamard: reconstruct g1/g2 in-register from the
-    real main blocks + plane corrections, then ``out += w_j*(g1_j.g2_j)``.
+    real main blocks + plane corrections, then ``out += w_j*(g1_j.g2_j)``
+    (``weighted=False``: ``out += g1_j.g2_j`` — the per-node weight is
+    pre-folded into the g1 stream's tables at host f64, saving one ds
+    multiply per element per node).
 
     Expansions are exact: leading-dim slab cycling (broadcast+merge of
     untiled dims) and 0/1 selector dots at HIGHEST precision (one product
@@ -1190,8 +1195,12 @@ def _hwh_kernel(*refs, m, slabs):
     j = pl.program_id(1)
     (r1h, r1l, r2h, r2l) = refs[:4]
     planes = refs[4:28]  # 2 streams x 3 planes x (reh, rel, imh, iml)
-    sx_ref, sy_ref, sz_ref, s1_ref, s2_ref, wh_ref, wl_ref = refs[28:35]
-    orh, orl = refs[35:]
+    if weighted:
+        sx_ref, sy_ref, sz_ref, s1_ref, s2_ref, wh_ref, wl_ref = refs[28:35]
+        orh, orl = refs[35:]
+    else:
+        sx_ref, sy_ref, sz_ref, s1_ref, s2_ref = refs[28:33]
+        orh, orl = refs[33:]
     opq = lambda v: v  # Mosaic emits the EFTs as written
     hp = jax.lax.Precision.HIGHEST
 
@@ -1245,10 +1254,11 @@ def _hwh_kernel(*refs, m, slabs):
     # omission is the documented incorrect g-realness shortcut.
     rr = _k_mul(g1re[0], g1re[1], g2re[0], g2re[1], opq)
     ii = _k_mul(g1im[0], g1im[1], g2im[0], g2im[1], opq)
-    hre = _k_ds_sub(rr[0], rr[1], ii[0], ii[1], opq)
-    wh = wh_ref[j]
-    wl = wl_ref[j]
-    tre = _k_mul(hre[0], hre[1], wh, wl, opq)
+    tre = _k_ds_sub(rr[0], rr[1], ii[0], ii[1], opq)
+    if weighted:
+        wh = wh_ref[j]
+        wl = wl_ref[j]
+        tre = _k_mul(tre[0], tre[1], wh, wl, opq)
 
     @pl.when(j == 0)
     def _():
@@ -1261,7 +1271,7 @@ def _hwh_kernel(*refs, m, slabs):
 
 
 def hadamard_wsum_half(
-    r1: DS, c1, r2: DS, c2, w: DS, grid_shape, signs,
+    r1: DS, c1, r2: DS, c2, w: Optional[DS], grid_shape, signs,
     assemble_fn, kernel: Optional[bool] = None,
 ) -> DS:
     """``sum_j w[j] * (g1[j] . g2[j])`` where each g is given FACTORED as a
@@ -1270,6 +1280,11 @@ def hadamard_wsum_half(
     streams in-register, so the dense complex g fields never touch HBM —
     staged, the assembly alone is ~10 broadcast ds-add passes per
     sub-batch (measured ~40 ms of a 165 ms 64^3 eval).
+
+    ``w=None`` sums the plain products: the pipeline pre-folds the per-node
+    quadrature weight into the g1 stream's z-half matrices and correction
+    coefficients at host f64 (one exact table product replaces one runtime
+    ds multiply per element per node).
 
     ``c1``/``c2`` are ``(px, py, pz)`` CDS plane tuples (line/point terms
     pre-folded); ``signs`` the per-axis ±1 parity vectors; ``assemble_fn``
@@ -1329,18 +1344,20 @@ def hadamard_wsum_half(
     sx_spec = pl.BlockSpec((m, 1), lambda i, j: (i, 0))
     w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     o_spec = pl.BlockSpec((bm, lanes), lambda i, j: (i, 0))
+    weighted = w is not None
+    spec_tail = [sx_spec, const(sy_pat), const(sz_lane), const(s1), const(s2)]
+    args_tail = [sx_col, sy_pat, sz_lane, s1, s2]
+    if weighted:
+        spec_tail += [w_spec, w_spec]
+        args_tail += [w.hi.astype(jnp.float32), w.lo.astype(jnp.float32)]
     out = pl.pallas_call(
-        partial(_hwh_kernel, m=m, slabs=slabs),
+        partial(_hwh_kernel, m=m, slabs=slabs, weighted=weighted),
         grid=(rows // bm, c),
-        in_specs=[r_spec] * 4 + plane_specs
-        + [sx_spec, const(sy_pat), const(sz_lane), const(s1), const(s2),
-           w_spec, w_spec],
+        in_specs=[r_spec] * 4 + plane_specs + spec_tail,
         out_specs=[o_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 2,
     )(
-        fr(r1.hi), fr(r1.lo), fr(r2.hi), fr(r2.lo), *planes,
-        sx_col, sy_pat, sz_lane, s1, s2,
-        w.hi.astype(jnp.float32), w.lo.astype(jnp.float32),
+        fr(r1.hi), fr(r1.lo), fr(r2.hi), fr(r2.lo), *planes, *args_tail,
     )
     reh, rel = (a.reshape(grid_shape) for a in out)
     return DS(reh, rel)

@@ -218,6 +218,24 @@ class TestHalfStreamPipeline:
         rel = np.max(np.abs(q_half - q_vpu)) / np.max(np.abs(q_vpu))
         assert rel < 1e-12, rel  # measured ~1.4e-14 (ds noise floor)
 
+    def test_herm_downstream_off_matches_vpu(self):
+        # the full-spectrum downstream (herm_downstream=False — the >32^3
+        # default) must match too; the True variant is covered by the
+        # nv=6 tests above via the auto rule (on for grids <= 32/axis,
+        # which also exercises the non-power-of-two 1/Nz ds constant and
+        # the odd Nz/2=3 line-sum tree)
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=2, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=3))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        q = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="ozk", g_stream="half",
+                       herm_downstream=False)
+        )
+        rel = np.max(np.abs(q - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel < 1e-12, rel
+
     @pytest.mark.slow
     def test_half_matches_f64_reference(self):
         # the same bar as the round-3 Nyquist regression test: an
