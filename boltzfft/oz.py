@@ -531,7 +531,13 @@ def _oz_contract_kernel_v3(
     else:
         blo_re_ref, blo_im_ref = mats
         bhi_re_ref = bhi_im_ref = None
-    orh_ref, orl_ref, oih_ref, oil_ref = outs
+    if real_out:
+        # the imaginary output planes are never computed — don't declare
+        # (or write) them: at 64^3 the zero-writes alone are ~8 MB/launch
+        orh_ref, orl_ref = outs
+        oih_ref = oil_ref = None
+    else:
+        orh_ref, orl_ref, oih_ref, oil_ref = outs
     rb = xrh_ref.shape[0]
     opq = _opaque if pin else (lambda v: v)
 
@@ -624,8 +630,9 @@ def _oz_contract_kernel_v3(
                 imh, iml = _k_add_float(imh, iml, tail, opq)
     orh_ref[:] = reh
     orl_ref[:] = rel
-    oih_ref[:] = imh
-    oil_ref[:] = iml
+    if not real_out:
+        oih_ref[:] = imh
+        oil_ref[:] = iml
 
 
 def _row_block(rows: int) -> int:
@@ -820,15 +827,21 @@ def contract_last_oz_kernel(
     mat_specs = [
         pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats
     ]
+    n_out = 2 if real_out else 4
     out = pl.pallas_call(
         kern,
         grid=(rows // rb,),
         in_specs=in_specs + mat_specs,
-        out_specs=[row_spec(ell)] * 4,
-        out_shape=[jax.ShapeDtypeStruct((rows, ell), jnp.float32)] * 4,
+        out_specs=[row_spec(ell)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows, ell), jnp.float32)] * n_out,
         interpret=interpret,
     )(*operands, *mats)
-    reh, rel, imh, iml = (a.reshape(shape[:-1] + (ell,)) for a in out)
+    planes = [a.reshape(shape[:-1] + (ell,)) for a in out]
+    if real_out:
+        # callers consume .re only; the zero im planes are dead code
+        z = jnp.zeros_like(planes[0])
+        planes += [z, z]
+    reh, rel, imh, iml = planes
     return CDS(DS(reh, rel), DS(imh, iml))
 
 
@@ -1011,15 +1024,21 @@ def contract_last_oz_nodemat(
     else:
         x_args = (xrh, xrl, xih, xil)
         x_specs = [pl.BlockSpec((rb, k), x_idx)] * 4
+    n_out = 2 if real_out else 4
     out = pl.pallas_call(
         kern,
         grid=(rows_out // rb,),
         in_specs=x_specs + mat_specs,
-        out_specs=[out_spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((rows_out, ell), jnp.float32)] * 4,
+        out_specs=[out_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows_out, ell), jnp.float32)] * n_out,
         interpret=False,
     )(*x_args, *mats)
-    reh, rel, imh, iml = (a.reshape(out_lead + (ell,)) for a in out)
+    planes = [a.reshape(out_lead + (ell,)) for a in out]
+    if real_out:
+        # callers consume .re only; the zero im planes are dead code
+        z = jnp.zeros_like(planes[0])
+        planes += [z, z]
+    reh, rel, imh, iml = planes
     return CDS(DS(reh, rel), DS(imh, iml))
 
 
