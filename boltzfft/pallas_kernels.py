@@ -193,8 +193,20 @@ def _dft3(n, mr, mi, tr, ti, px=None, py=None, pz=None, precision=None):
         tr2, ti2 = cdot(tr.reshape(-1, n), ti.reshape(-1, n), mrt, mit)
         return tr2.reshape(tr.shape), ti2.reshape(ti.shape)
 
-    # z (last) axis
-    tr, ti = last_axis(tr, ti, pz)
+    # z (last) axis; ti=None marks an exactly-real input (the group-sum
+    # forward after the Im(h) annihilation) — two plain dots instead of a
+    # Karatsuba complex contraction on the first axis
+    if ti is None:
+        assert pz is None, "real input with a z phase is unsupported"
+        dot = partial(jnp.dot, preferred_element_type=tr.dtype,
+                      precision=precision)
+        flat = tr.reshape(-1, n)
+        tr, ti = (
+            dot(flat, mrt).reshape(tr.shape),
+            dot(flat, mit).reshape(tr.shape),
+        )
+    else:
+        tr, ti = last_axis(tr, ti, pz)
     # y axis: swap j<->k, transform, swap back
     tr, ti = last_axis(jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2), py)
     tr, ti = jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2)
@@ -261,8 +273,14 @@ def _fused_gain_kron_kernel(
     inverse(1.0, g1r_s, g1i_s)
     inverse(-1.0, g2r_s, g2i_s)
 
+    # Im(h) is dropped EXACTLY: Q_gain = Re(IFFT(sum_r beta1(r) FFT(s_r)))
+    # with beta1 real and l -> -l symmetric, so the anti-Hermitian part of
+    # each FFT(s) — exactly FFT(i Im s) — yields a purely imaginary IFFT
+    # that the final real projection annihilates (the same theorem as the
+    # ds pipeline's hadamard_wsum_half; math in that docstring).  This
+    # halves the Hadamard/group-sum VPU work and turns the x leg of the
+    # group forward into two plain dots.
     hr = g1r_s[:] * g2r_s[:] - g1i_s[:] * g2i_s[:]
-    hi = g1r_s[:] * g2i_s[:] + g1i_s[:] * g2r_s[:]
 
     # beta1 depends only on the radial node, so nodes sharing rho (the
     # spherical-design members of one radial group) are gw-weighted and
@@ -275,19 +293,19 @@ def _fused_gain_kron_kernel(
     fwr, fwi = fwr_ref[:], fwi_ref[:]
     n2 = float(nyz)
     nl = nl_ref[:]
+    dot = partial(jnp.dot, preferred_element_type=hr.dtype,
+                  precision=precision)
     acc_r = jnp.zeros_like(nl)
     acc_i = jnp.zeros_like(nl)
     for g in range(n_groups):
         sr = jnp.zeros((nx, nyz), hr.dtype)
-        si = jnp.zeros((nx, nyz), hi.dtype)
         for cc in range(g * gs, (g + 1) * gs):
             w = gw_ref[base + cc]
             sr = sr + w * hr[cc]
-            si = si + w * hi[cc]
-        # forward transform of the group sum: x axis with the shared F
-        # matrix, then y/z via the conjugate-scaled Kron
-        # (F_y (x) F_z = Ny*Nz conj K)
-        sr, si = cmm(fwr, fwi, sr, si)
+        # forward transform of the REAL group sum: x axis with the shared F
+        # matrix (real input: two plain dots), then y/z via the
+        # conjugate-scaled Kron (F_y (x) F_z = Ny*Nz conj K)
+        sr, si = dot(fwr, sr), dot(fwi, sr)
         sr, si = cmm(sr, si, n2 * kr, -n2 * ki)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
         beta1 = amp * jnp.sin(arg) / arg
@@ -596,8 +614,12 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
     base = i * c
 
     def group_body(g, carry):
-        def sub_body(j, s):
-            sr, si = s
+        # Im(h) is dropped EXACTLY (same theorem as the ds pipeline's
+        # hadamard_wsum_half): beta1 is real and l -> -l symmetric, so the
+        # anti-Hermitian FFT(i Im s) part yields a purely imaginary IFFT
+        # that the final Re projection annihilates.  Halves the Hadamard
+        # VPU work; the group forward's x leg becomes two plain dots.
+        def sub_body(j, sr):
             off = g * gs + j * cc
             # Per-node phase rows are read one at a time (Mosaic rejects
             # dynamic multi-row sublane slices that aren't 8-aligned) and the
@@ -626,12 +648,13 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
                 g2r, g2i = cmm(m2r, m2i, y2r[rs], y2i[rs])
                 w = gw_ref[idx]
                 sr = sr + w * (g1r * g2r - g1i * g2i)
-                si = si + w * (g1r * g2i + g1i * g2r)
-            return sr, si
+            return sr
 
-        sr, si = jax.lax.fori_loop(0, gs // cc, sub_body, (zero, zero))
-        # one forward transform per radial group (beta1 depends only on rho)
-        sr, si = cmm(fwr_ref[:], fwi_ref[:], sr, si)
+        sr = jax.lax.fori_loop(0, gs // cc, sub_body, zero)
+        # one forward transform per radial group (beta1 depends only on
+        # rho); the group sum is real (Im dropped above)
+        dot = partial(jnp.dot, preferred_element_type=dt, precision=precision)
+        sr, si = dot(fwr_ref[:], sr), dot(fwi_ref[:], sr)
         sr, si = yz_forward(sr, si)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
         beta1 = amp * jnp.sin(arg) / arg
@@ -859,8 +882,11 @@ def _fused_gain_kernel(
 
     # fori_loop (not unrolled python loops): the transform body is traced
     # once, keeping Mosaic compile time independent of nodes-per-step.
-    def node_body(cc, s):
-        sr, si = s
+    # Im(h) is dropped EXACTLY (same theorem as the ds pipeline's
+    # hadamard_wsum_half): beta1 is real and l -> -l symmetric, so the
+    # anti-Hermitian FFT(i Im s) part yields a purely imaginary IFFT that
+    # the final Re projection annihilates.
+    def node_body(cc, sr):
         idx = base + cc
         ax = (axr_ref[idx, :], axi_ref[idx, :])
         ay = (ayr_ref[idx, :], ayi_ref[idx, :])
@@ -873,14 +899,14 @@ def _fused_gain_kernel(
             precision=precision,
         )
         w = gw_ref[idx]
-        return (sr + w * (g1r * g2r - g1i * g2i),
-                si + w * (g1r * g2i + g1i * g2r))
+        return sr + w * (g1r * g2r - g1i * g2i)
 
     def group_body(g, acc):
         acc_r, acc_i = acc
-        sr, si = jax.lax.fori_loop(g * gs, (g + 1) * gs, node_body, (zero, zero))
-        # one forward transform per radial group (beta1 depends only on rho)
-        sr, si = _dft3(n, wr_ref[:], wi_ref[:], sr, si, precision=precision)
+        sr = jax.lax.fori_loop(g * gs, (g + 1) * gs, node_body, zero)
+        # one forward transform per radial group (beta1 depends only on
+        # rho); the group sum is real (Im dropped above)
+        sr, si = _dft3(n, wr_ref[:], wi_ref[:], sr, None, precision=precision)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
         beta1 = amp * jnp.sin(arg) / arg
         return (acc_r + beta1 * sr, acc_i + beta1 * si)
