@@ -7,13 +7,17 @@ measured full evaluation:
 
     python benchmarks/ablate_ds.py --nv 64 --ns 12 --chain 64
 
-Stages (counts per eval, G radial groups x S sub-batches of C nodes):
-  g-transform   transform3_oz_nodemat, the g1/g2 inverse streams (2*G*S)
-  hadamard      fused Hadamard + weighted group sum kernel        (G*S)
-  fwd-transform transform3_oz of the group sum                    (G)
-  beta1-acc     cmul_ds(h_hat, beta1) + cadd into the gain acc    (G)
-  fixed         forward of f (real_in) + two real_out inverses +
-                loss multiply + final assembly                    (1)
+Default stages model the HALF-SPECTRUM path (the TPU default on even
+grids; counts per eval, G radial groups x S sub-batches of C nodes):
+  g-main-half   _g_main_half, both streams concatenated          (G*S)
+  hadamard-half fused reconstruct+Hadamard+sum kernel            (G*S)
+  corrections   _nyq_corrections, batched all nodes              (2)
+  fwd-transform transform3_oz of the REAL group sum (real_in)    (G)
+  beta1-acc     cmul_ds(h_hat, beta1) + cadd into the gain acc   (G)
+  fixed         forward of f (real_in) + stacked real_out inverses +
+                loss multiply + final assembly                   (1)
+``--full-stream`` times the g_stream="full" stages instead
+(transform3_oz_nodemat g1/g2 at 2*G*S + hadamard_wsum).
 
 This is the tool that found the round-3 v4 bottleneck ordering; keep its
 output in Results/ when the kernel changes.
@@ -83,6 +87,9 @@ def main(argv=None):
     p.add_argument("--no-preslice", action="store_true",
                    help="measure the g-transform stage without the "
                         "pre-sliced shared-operand mode")
+    p.add_argument("--full-stream", action="store_true",
+                   help="time the full-stream (g_stream='full') stages "
+                        "instead of the default half-spectrum ones")
     args = p.parse_args(argv)
 
     bz.enable_compilation_cache("/root/repo/.xla_cache")
@@ -123,43 +130,134 @@ def main(argv=None):
         print(f"  {name:14s} {per*1e3:8.3f} ms/call  x{count}", flush=True)
 
     print("per-stage (chained):", flush=True)
-    tf_nodemat = partial(oz.transform3_oz_nodemat, cmax=cmax, w=slw,
-                         fold_tail=ftail)
     use_pre = not args.no_preslice and jax.default_backend() == "tpu"
-    if use_pre:
-        # the pipeline pre-slices f_hat once per eval; the stage body must
-        # re-derive the chunks from the carry so the measurement keeps the
-        # data dependency (cost is amortized in-pipeline, counted once here)
-        stage(
-            "g-transform",
-            lambda c: jax.tree.map(
-                lambda a: a[0] * damp,
-                tf_nodemat(c, m1, x_pre=oz.preslice_rows(
-                    c, cmax=cmax, w=slw, interpret=False)),
-            ),
-            fh, 2 * n_groups * n_sub,
-        )
-    else:
-        stage(
-            "g-transform",
-            lambda c: jax.tree.map(lambda a: a[0] * damp, tf_nodemat(c, m1)),
-            fh, 2 * n_groups * n_sub,
-        )
-    stage(
-        "hadamard",
-        lambda c: jax.tree.map(
-            lambda a: jnp.broadcast_to(a * damp, (sb,) + a.shape),
-            oz.hadamard_wsum(c, c, w_sb),
-        ),
-        gfake, n_groups * n_sub,
-    )
     tf_fwd = partial(oz.transform3_oz, m=pre.vfwd_sl, cmax=cmax, w=slw,
                      fold_tail=ftail)
-    stage(
-        "fwd-transform",
-        lambda c: jax.tree.map(lambda a: a * damp, tf_fwd(c)),
-        fh, n_groups,
-    )
+    half = pre.pmz_half1w is not None and not args.full_stream
+    if half:
+        from boltzfft.ds import CDS, DS
+        from boltzfft.ds_operator import (
+            _assemble_g_half, _corr_ck, _g_main_half, _nyq_corrections,
+        )
+
+        nxg, nyg, nzg = cfg.grid_shape
+        nzh = nzg // 2
+        ckc = _corr_ck(None, cmax, slw, ftail)
+        signs = tuple(
+            jnp.asarray((-1.0) ** np.arange(n), jnp.float32)
+            for n in (nxg, nyg, nzg)
+        )
+        kxm = jnp.asarray(np.arange(nxg) != nxg // 2, jnp.float32)
+        kym = jnp.asarray(np.arange(nyg) != nyg // 2, jnp.float32)
+        fmask = kxm[:, None, None] * kym[None, :, None]
+        fhs = ds._swap_last2(
+            jax.tree.map(lambda a: a[..., :nzh] * fmask, fh)
+        )
+        cat = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.concatenate((x, y)), a, b
+        )
+        take0 = lambda t: jax.tree.map(lambda a: a[0, :sb], t)
+        m_y = cat(take0(pre.pm1[1]), take0(pre.pm2[1]))
+        m_x = cat(take0(pre.pm1[0]), take0(pre.pm2[0]))
+        m_zh = cat(take0(pre.pmz_half1w), take0(pre.pmz_half2))
+
+        def gmain_body(c):
+            xp = (
+                oz.preslice_rows(c, cmax=cmax, w=slw, interpret=False)
+                if use_pre else None
+            )
+            r12 = _g_main_half(c, xp, m_y, m_x, m_zh, cmax, slw, ftail)
+            add_h = r12.hi[0, :, :, :nzh].transpose(0, 2, 1) * 1e-3
+            add_l = r12.lo[0, :, :, :nzh].transpose(0, 2, 1) * 1e-3
+            return CDS(
+                DS(c.re.hi * damp + add_h, c.re.lo * damp + add_l),
+                DS(c.im.hi * damp, c.im.lo * damp),
+            )
+
+        stage("g-main-half", gmain_body, fhs, n_groups * n_sub)
+
+        corr1 = _nyq_corrections(
+            cfg, pre, fh, ckc, conj=False, coef=pre.nyq_coef_w
+        )
+        corr2 = _nyq_corrections(cfg, pre, fh, ckc, conj=True)
+        c1_0 = jax.tree.map(lambda a: a[0, :sb], corr1)
+        c2_0 = jax.tree.map(lambda a: a[0, :sb], corr2)
+        rfake = DS(
+            jnp.broadcast_to(f.hi, (sb,) + f.hi.shape),
+            jnp.broadcast_to(f.lo, (sb,) + f.lo.shape),
+        )
+
+        def had_body(c):
+            part = oz.hadamard_wsum_half(
+                c, c1_0, c, c2_0, None, cfg.grid_shape, signs,
+                _assemble_g_half,
+            )
+            return DS(c.hi * damp + part.hi[None] * 1e-3,
+                      c.lo * damp + part.lo[None] * 1e-3)
+
+        stage("hadamard-half", had_body, rfake, n_groups * n_sub)
+
+        def corr_body(c):
+            px, py, pz = _nyq_corrections(
+                cfg, pre, c, ckc, conj=False, coef=pre.nyq_coef_w
+            )
+            bump = (
+                px.re.hi[0, 0][None, :, :] * 1e-3
+                + py.re.hi[0, 0][:, None, :] * 1e-3
+                + pz.re.hi[0, 0][..., None] * 1e-3
+            )
+            return CDS(
+                DS(c.re.hi * damp + bump, c.re.lo * damp),
+                DS(c.im.hi * damp, c.im.lo * damp),
+            )
+
+        stage("corrections", corr_body, fh, 2)
+
+        def fwd_body(c):
+            out = tf_fwd(
+                ds.cds_from_real(DS(c.re.hi, c.re.lo)), real_in=True
+            )
+            return jax.tree.map(lambda a, b: a * damp + b * 1e-3, c, out)
+
+        stage("fwd-transform", fwd_body, fh, n_groups)
+    else:
+        tf_nodemat = partial(oz.transform3_oz_nodemat, cmax=cmax, w=slw,
+                             fold_tail=ftail)
+        if use_pre:
+            # the pipeline pre-slices f_hat once per eval; the stage body
+            # must re-derive the chunks from the carry so the measurement
+            # keeps the data dependency (cost amortized in-pipeline,
+            # counted once here)
+            stage(
+                "g-transform",
+                lambda c: jax.tree.map(
+                    lambda a: a[0] * damp,
+                    tf_nodemat(c, m1, x_pre=oz.preslice_rows(
+                        c, cmax=cmax, w=slw, interpret=False)),
+                ),
+                fh, 2 * n_groups * n_sub,
+            )
+        else:
+            stage(
+                "g-transform",
+                lambda c: jax.tree.map(
+                    lambda a: a[0] * damp, tf_nodemat(c, m1)
+                ),
+                fh, 2 * n_groups * n_sub,
+            )
+        stage(
+            "hadamard",
+            lambda c: jax.tree.map(
+                lambda a: jnp.broadcast_to(a * damp, (sb,) + a.shape),
+                oz.hadamard_wsum(c, c, w_sb),
+            ),
+            gfake, n_groups * n_sub,
+        )
+        stage(
+            "fwd-transform",
+            lambda c: jax.tree.map(lambda a: a * damp, tf_fwd(c)),
+            fh, n_groups,
+        )
     b1_0 = jax.tree.map(lambda a: a[0], pre.beta1)
     stage(
         "beta1-acc",
