@@ -561,6 +561,7 @@ def collide_ds(
     preslice: bool = True,
     g_stream: Optional[str] = None,
     herm_downstream: Optional[bool] = None,
+    group_batch: Optional[int] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -613,6 +614,18 @@ def collide_ds(
     = :func:`default_g_stream`.  Not an approximation: results agree with
     the full streams to the ds noise floor on ANY input (Nyquist-rich
     included), and with the f64 reference digits at the BKW oracle.
+
+    ``group_batch`` (half path): how many radial groups ride each kernel
+    launch set — the g-main/Hadamard stages treat nodes independently, so
+    batching groups multiplies the per-launch row count without changing
+    the math (the Hadamard kernel keeps per-group sums; the per-group
+    forward + beta1 accumulation order is unchanged; gb>1 launches a
+    group's whole node batch at once, so within-group Hadamard partial
+    sums reassociate at the ds noise floor vs small ``sub_batch``).
+    Measured: gb=2 buys ~6-8% at 16^3-32^3 (partly launch-bound); deeper
+    batching flattens, and >32/axis grids lose (see
+    :func:`default_group_batch`).  None = measured auto rule; must divide
+    the radial group count.
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
@@ -668,6 +681,14 @@ def collide_ds(
             "before the weight-folded tables existed must be rebuilt)"
         )
     fhs = f_pre_h = signs = corr1 = corr2 = None
+    gb = 1
+    if half:
+        n_gl_tot = pre.beta1.hi.shape[0]
+        gb = (
+            default_group_batch(cfg, n_gl_tot)
+            if group_batch is None
+            else group_batch
+        )
     if half:
         nxg, nyg, nzg = cfg.grid_shape
         hx, hy = nxg // 2, nyg // 2
@@ -734,8 +755,13 @@ def collide_ds(
         else:
             ax, ay, az, gw, b1 = xs
         s = None
-        for j0 in range(0, ns, sb):
-            sl = slice(j0, min(j0 + sb, ns))
+        # group-batched half path: all gb*ns nodes ride one launch set
+        # (sub_batch is moot — batching is the point)
+        sub_starts = range(0, ns, sb) if gb == 1 else (0,)
+        for j0 in sub_starts:
+            sl = (
+                slice(j0, min(j0 + sb, ns)) if gb == 1 else slice(None)
+            )
             if half:
                 # exact half-spectrum streams: real main block + Nyquist
                 # corrections (tests/test_half_spectrum.py).  Both streams
@@ -763,11 +789,12 @@ def collide_ds(
                 # the staged assemble + hadamard twin in the same order
                 part = oz.hadamard_wsum_half(
                     r1, take(c1g), r2, take(c2g), None,
-                    cfg.grid_shape, signs, _assemble_g_half,
+                    cfg.grid_shape, signs, _assemble_g_half, groups=gb,
                 )
                 # part is Re(sum w h) only — Im(h) provably never reaches
                 # Q (see hadamard_wsum_half), so the group sum stays a
                 # REAL field and the forward transform below runs real_in
+                # (gb > 1: part is the (gb,) stack of per-group sums)
                 s = part if s is None else ds.add(s, part)
                 continue
             elif nodemat:
@@ -824,9 +851,21 @@ def collide_ds(
             # the plane transform is batched across groups after the scan
             # (per-group 2-D kernels are launch-overhead-bound); q rides out
             # as a scan output
+            if gb > 1:
+                # per-group beta1 accumulation, in the same global group
+                # order as gb=1 (sequential compensated adds)
+                for g in range(gb):
+                    tk = lambda t, _g=g: jax.tree.map(lambda a: a[_g], t)
+                    acc = ds.cadd(acc, ds.cmul_ds(tk(hm), tk(b1h)))
+                return acc, q
             return ds.cadd(acc, ds.cmul_ds(hm, b1h)), q
         if half:
             h_hat = tf_fwd(ds.cds_from_real(s), real_in=True)
+            if gb > 1:
+                for g in range(gb):
+                    tk = lambda t, _g=g: jax.tree.map(lambda a: a[_g], t)
+                    acc = ds.cadd(acc, ds.cmul_ds(tk(h_hat), tk(b1)))
+                return acc, None
         else:
             h_hat = tf_fwd(s)
         return ds.cadd(acc, ds.cmul_ds(h_hat, b1)), None
@@ -842,6 +881,29 @@ def collide_ds(
             (pre.pm1[0], pre.pm1[1]), (pre.pm2[0], pre.pm2[1]),
             pre.pmz_half1w, pre.pmz_half2, corr1, corr2,
         )
+        if gb > 1:
+            # fold `gb` radial groups into each scan step: spatial-field
+            # entries (beta1) gain a (gb,) axis, node-carrying tables
+            # (per-node matrices, correction planes) merge the group axis
+            # into their node axis (group-major — the kernel's per-group
+            # sum windows and the downstream accumulation order match the
+            # gb=1 sequence exactly)
+            n_gl = xs[0].hi.shape[0]
+            if n_gl % gb:
+                raise ValueError(
+                    f"group_batch={gb} must divide the radial group "
+                    f"count {n_gl}"
+                )
+            grp = lambda t: jax.tree.map(
+                lambda a: a.reshape((n_gl // gb, gb) + a.shape[1:]), t
+            )
+            nod = lambda t: jax.tree.map(
+                lambda a: a.reshape(
+                    (n_gl // gb, gb * a.shape[1]) + a.shape[2:]
+                ),
+                t,
+            )
+            xs = (grp(xs[0]),) + tuple(nod(t) for t in xs[1:])
     elif nodemat:
         acc0 = ds.czeros(cfg.grid_shape, f.hi.dtype)
         xs = (pre.gain_w, pre.beta1, pre.pm1, pre.pm2)
@@ -857,6 +919,10 @@ def collide_ds(
         # The per-group Nyquist line sums q transform in ONE batched 2-D
         # launch set, then beta1-weight and fold (compensated, fixed order).
         am = q_gain_hat
+        if gb > 1:
+            # per-step q stacks are (n_gl/gb, gb, Nx, Ny) — flatten back to
+            # the per-group order the beta1p table carries
+            qs = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), qs)
         ap = _cds_sum_first(
             ds.cmul_ds(_fwd2_batched(qs, ckc, fwd_xy), beta1p)
         )
@@ -900,6 +966,32 @@ def default_contract() -> str:
     return "oz" if jax.default_backend() == "tpu" else "vpu"
 
 
+def default_group_batch(cfg: CollisionConfig, n_gl: int) -> int:
+    """Measured auto rule for ``collide_ds``'s ``group_batch`` (half path).
+
+    Small grids are partly launch/overhead-bound — one radial group's node
+    batch underfills the kernel grid — so pairs of groups ride each launch
+    set there.  Measured ladder (TPU v5e, Ns=12, k-chained): 32^3
+    41.2/43.8/42.6/40.0 evals/s at gb=1/2/4/8 and 16^3 240.9/259.8/253.8/
+    259.1 — gb=2 is the sweet spot (~+6-8%), deeper batching flattens or
+    regresses (the one-launch node chain starts paying VMEM/pipelining
+    costs).  Above 32/axis the per-group workload already fills the grid
+    (and bypassing ``sub_batch`` hurts — the measured 64^3 optimum is
+    sub_batch=2), so gb=1.  Returns the largest divisor of ``n_gl`` not
+    exceeding the target (1 off-TPU: the staged twins see no
+    launch-overhead win and the CPU test tier keeps the per-group
+    formulation hot)."""
+    if jax.default_backend() != "tpu":
+        return 1
+    n = max(cfg.grid_shape)
+    target = 2 if n <= 32 else 1
+    gb = 1
+    for d in range(1, n_gl + 1):
+        if n_gl % d == 0 and d <= target:
+            gb = d
+    return gb
+
+
 def default_g_stream(contract: str) -> str:
     """Default g-stream formulation for ``collide_ds``'s oz engines: the
     exact half-spectrum decomposition on TPU (measured 1.22x at 64^3/Ns=12
@@ -914,20 +1006,22 @@ def make_ds_collision_operator(
     cfg: CollisionConfig, jit: bool = True, dtype=np.float32,
     sub_batch: int = 2, contract: Optional[str] = None,
     oz_cmax: Optional[int] = None, g_stream: Optional[str] = None,
+    group_batch: Optional[int] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
     Same factory shape as :func:`boltzfft.make_collision_operator`;
     ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
     ``contract=None`` resolves via :func:`default_contract`; ``oz_cmax``
-    is the Ozaki retention level and ``g_stream`` the inverse-stream
-    formulation (see :func:`collide_ds`).
+    is the Ozaki retention level, ``g_stream`` the inverse-stream
+    formulation, and ``group_batch`` the radial-group launch batching
+    (see :func:`collide_ds`).
     """
     pre = build_ds_precomp(cfg, dtype)
     fn = partial(
         collide_ds, cfg, sub_batch=sub_batch,
         contract=contract or default_contract(), oz_cmax=oz_cmax,
-        g_stream=g_stream,
+        g_stream=g_stream, group_batch=group_batch,
     )
 
     def collide_fn(f, precomp):

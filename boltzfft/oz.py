@@ -1201,17 +1201,24 @@ def _hwh_layout(nx: int, ny: int, nz: int):
     return None
 
 
-def _hwh_kernel(*refs, m, slabs, weighted):
+def _hwh_kernel(*refs, m, slabs, weighted, ns_pg=None):
     """Fused half-spectrum Hadamard: reconstruct g1/g2 in-register from the
     real main blocks + plane corrections, then ``out += w_j*(g1_j.g2_j)``
     (``weighted=False``: ``out += g1_j.g2_j`` — the per-node weight is
     pre-folded into the g1 stream's tables at host f64, saving one ds
     multiply per element per node).
 
+    ``ns_pg`` (group-batched mode): nodes per radial group — the node grid
+    axis covers several radial groups back-to-back, each accumulating into
+    its own output slab (the sum restarts whenever ``j % ns_pg == 0``; the
+    output block index map routes group ``j // ns_pg`` to its slab, and the
+    revisiting stays consecutive because node is the innermost grid dim).
+
     Expansions are exact: leading-dim slab cycling (broadcast+merge of
     untiled dims) and 0/1 selector dots at HIGHEST precision (one product
     per output, value*1.0 — exact on the MXU's f32 path)."""
     j = pl.program_id(1)
+    jj = j if ns_pg is None else j % ns_pg
     (r1h, r1l, r2h, r2l) = refs[:4]
     planes = refs[4:28]  # 2 streams x 3 planes x (reh, rel, imh, iml)
     if weighted:
@@ -1279,11 +1286,11 @@ def _hwh_kernel(*refs, m, slabs, weighted):
         wl = wl_ref[j]
         tre = _k_mul(tre[0], tre[1], wh, wl, opq)
 
-    @pl.when(j == 0)
+    @pl.when(jj == 0)
     def _():
         orh[:], orl[:] = tre
 
-    @pl.when(j > 0)
+    @pl.when(jj > 0)
     def _():
         rh2, rl2 = _k_ds_add(orh[:], orl[:], tre[0], tre[1], opq)
         orh[:], orl[:] = rh2, rl2
@@ -1291,7 +1298,7 @@ def _hwh_kernel(*refs, m, slabs, weighted):
 
 def hadamard_wsum_half(
     r1: DS, c1, r2: DS, c2, w: Optional[DS], grid_shape, signs,
-    assemble_fn, kernel: Optional[bool] = None,
+    assemble_fn, kernel: Optional[bool] = None, groups: int = 1,
 ) -> DS:
     """``sum_j w[j] * (g1[j] . g2[j])`` where each g is given FACTORED as a
     real main block plus three plane corrections (the half-spectrum form,
@@ -1317,12 +1324,34 @@ def hadamard_wsum_half(
     IFFT that the final real projection annihilates.  So ``Im(s)`` can
     never reach Q.  (This is NOT the rejected g-realness shortcut: the
     epsilon streams still enter ``Re(h) = R1 R2 - E1 E2`` exactly; only
-    the provably-annihilated imaginary output is skipped.)"""
+    the provably-annihilated imaginary output is skipped.)
+
+    ``groups > 1`` (radial-group batching): the node axis covers ``groups``
+    radial groups back-to-back (``C = groups * ns_pg``, group-major order)
+    and the result is the ``(groups,) + grid_shape`` stack of PER-GROUP
+    sums — one kernel launch for all of them (the per-group accumulation
+    restarts at each group's first node; within a group the add order is
+    the same first-to-last sequence as ``groups=1``).  Only supported for
+    ``w=None`` (the weight-folded pipeline — the only caller)."""
     if kernel is None:
         kernel = jax.default_backend() == "tpu"
     nx, ny, nz = grid_shape
     lay = _hwh_layout(nx, ny, nz) if kernel else None
     if lay is None:
+        if groups > 1:
+            # staged twin: per-group assemble + Hadamard sum, same op order
+            # as the kernel (group g's nodes are rows [g*ns_pg, (g+1)*ns_pg))
+            assert w is None, "group batching requires the weight-folded form"
+            c = r1.hi.shape[0]
+            ns_pg = c // groups
+            outs = []
+            for g in range(groups):
+                sel = slice(g * ns_pg, (g + 1) * ns_pg)
+                tk = lambda t: jax.tree.map(lambda a: a[sel], t)
+                g1 = assemble_fn(tk(r1), tk(c1), signs)
+                g2 = assemble_fn(tk(r2), tk(c2), signs)
+                outs.append(_hadamard_wsum_jnp(g1, g2, None).re)
+            return jax.tree.map(lambda *a: jnp.stack(a), *outs)
         g1 = assemble_fn(r1, c1, signs)
         g2 = assemble_fn(r2, c2, signs)
         return _hadamard_wsum_jnp(g1, g2, w).re  # Re only, see above
@@ -1362,23 +1391,40 @@ def hadamard_wsum_half(
     sx_col = sxv.reshape(nx, 1)
     sx_spec = pl.BlockSpec((m, 1), lambda i, j: (i, 0))
     w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    o_spec = pl.BlockSpec((bm, lanes), lambda i, j: (i, 0))
     weighted = w is not None
+    ns_pg = None
+    nb = rows // bm
+    if groups > 1:
+        # node grid axis spans `groups` radial groups; each group's sum
+        # lands in its own row-slab of a (groups*rows, lanes) output (the
+        # block revisits stay consecutive: node is the innermost grid dim)
+        assert w is None, "group batching requires the weight-folded form"
+        assert c % groups == 0
+        ns_pg = c // groups
+        o_spec = pl.BlockSpec(
+            (bm, lanes), lambda i, j: ((j // ns_pg) * nb + i, 0)
+        )
+        out_rows = groups * rows
+    else:
+        o_spec = pl.BlockSpec((bm, lanes), lambda i, j: (i, 0))
+        out_rows = rows
     spec_tail = [sx_spec, const(sy_pat), const(sz_lane), const(s1), const(s2)]
     args_tail = [sx_col, sy_pat, sz_lane, s1, s2]
     if weighted:
         spec_tail += [w_spec, w_spec]
         args_tail += [w.hi.astype(jnp.float32), w.lo.astype(jnp.float32)]
     out = pl.pallas_call(
-        partial(_hwh_kernel, m=m, slabs=slabs, weighted=weighted),
+        partial(_hwh_kernel, m=m, slabs=slabs, weighted=weighted,
+                ns_pg=ns_pg),
         grid=(rows // bm, c),
         in_specs=[r_spec] * 4 + plane_specs + spec_tail,
         out_specs=[o_spec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)] * 2,
     )(
         fr(r1.hi), fr(r1.lo), fr(r2.hi), fr(r2.lo), *planes, *args_tail,
     )
-    reh, rel = (a.reshape(grid_shape) for a in out)
+    oshape = ((groups,) if groups > 1 else ()) + tuple(grid_shape)
+    reh, rel = (a.reshape(oshape) for a in out)
     return DS(reh, rel)
 
 

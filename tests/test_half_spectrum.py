@@ -273,6 +273,46 @@ class TestHalfStreamPipeline:
         rel = np.max(np.abs(q_half - q_vpu)) / np.max(np.abs(q_vpu))
         assert rel < 1e-12, rel
 
+    def _group_batch_parity(self, herm, gbs):
+        # radial-group launch batching (group_batch>1) must be a pure
+        # layout change: per-group Hadamard sums, forward transforms, and
+        # the beta1 accumulation order are the gb=1 sequence exactly, so
+        # parity here is BIT-level against gb=1 on the staged twin.
+        # contract="oz" off-TPU runs the staged XLA twin for transforms —
+        # the group-batch layout code (ds_operator + hadamard_wsum_half's
+        # groups>1 twin) is identical to the kernel path and much faster
+        # to test than forcing the Pallas interpreter
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=5))
+        kw = dict(contract="oz", g_stream="half", herm_downstream=herm,
+                  sub_batch=6)
+        q1 = ds.to_f64(collide_ds(cfg, pre, f, group_batch=1, **kw))
+        for gb in gbs:
+            qb = ds.to_f64(collide_ds(cfg, pre, f, group_batch=gb, **kw))
+            rel = np.max(np.abs(qb - q1)) / np.max(np.abs(q1))
+            assert rel < 1e-13, (gb, rel)  # same-op-order: ~0 expected
+
+    def test_group_batch_matches_unbatched(self):
+        # default tier: the production 32^3 config runs herm downstream,
+        # gb=2 covers multi-group kernel windows + mid-scan restarts
+        self._group_batch_parity(herm=True, gbs=(2,))
+
+    @pytest.mark.slow
+    def test_group_batch_full_sweep(self):
+        self._group_batch_parity(herm=True, gbs=(4,))
+        self._group_batch_parity(herm=False, gbs=(2, 4))
+
+    def test_group_batch_must_divide(self):
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg))
+        with pytest.raises(ValueError, match="divide"):
+            collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                       group_batch=3)
+
     def test_half_requires_tables(self):
         cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=2, impl="c2c",
                                  dtype="float32")
