@@ -120,7 +120,7 @@ def main():
         # the Ozaki MXU contraction — f64-class digits on f32 hardware
         # (boltzfft/oz.py); reports its measured BKW error alongside speed
         try:
-            result["ds_oz_nv32_ns12"] = _measure_ds(32, 12, k=2)
+            result["ds_oz_nv32_ns12"] = _measure_ds(32, 12, k=8)
         except Exception as e:
             result["ds_oz_nv32_ns12"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         # fourth tracked config: ds-oz at 64^3 — the accuracy axis the
@@ -128,7 +128,7 @@ def main():
         # Linf 3.07e-12, BASELINE.md:18).  vs_baseline > 1 here means the TPU
         # beats the reference at the reference's own accuracy.
         try:
-            r64 = _measure_ds(64, 12, k=2)
+            r64 = _measure_ds(64, 12, k=4)
             r64["vs_baseline"] = round(r64["value"] * 4.9432e-01, 3)
             result["ds_oz_nv64_ns12"] = r64
         except Exception as e:

@@ -54,6 +54,12 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
              "decomposition (same digits, less transform work; even grids)",
     )
     p.add_argument(
+        "--group-batch", type=int, default=None,
+        help="ds half path: radial groups per kernel launch set (must "
+             "divide the radial group count; default = measured auto "
+             "rule, gb=2 on grids <= 32/axis on TPU)",
+    )
+    p.add_argument(
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )

@@ -132,7 +132,7 @@ def _run_ds(args):
     t0 = time.perf_counter()
     collide_fn, pre = bz.make_ds_collision_operator(
         cfg, jit=False, contract=args.ds_contract, oz_cmax=args.oz_cmax,
-        g_stream=args.g_stream,
+        g_stream=args.g_stream, group_batch=args.group_batch,
     )
 
     if args.steps > 0:

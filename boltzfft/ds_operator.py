@@ -682,6 +682,12 @@ def collide_ds(
         )
     fhs = f_pre_h = signs = corr1 = corr2 = None
     gb = 1
+    if group_batch is not None and group_batch > 1 and not half:
+        raise ValueError(
+            "group_batch > 1 applies to the half-spectrum path only "
+            "(oz/ozk engine with g_stream='half'); it would be silently "
+            "ignored here"
+        )
     if half:
         n_gl_tot = pre.beta1.hi.shape[0]
         gb = (

@@ -294,14 +294,26 @@ class TestHalfStreamPipeline:
             rel = np.max(np.abs(qb - q1)) / np.max(np.abs(q1))
             assert rel < 1e-13, (gb, rel)  # same-op-order: ~0 expected
 
-    def test_group_batch_matches_unbatched(self):
-        # default tier: the production 32^3 config runs herm downstream,
-        # gb=2 covers multi-group kernel windows + mid-scan restarts
-        self._group_batch_parity(herm=True, gbs=(2,))
+    def test_group_batch_matches_vpu(self):
+        # default tier: one gb=2 program (the production small-grid shape:
+        # herm downstream, multi-group kernel windows, mid-scan restarts)
+        # against the cheap-to-compile vpu reference; the strict gb=1
+        # bit-parity sweep lives in the slow tier
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=5))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        qb = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                       herm_downstream=True, group_batch=2)
+        )
+        rel = np.max(np.abs(qb - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel < 1e-12, rel
 
     @pytest.mark.slow
     def test_group_batch_full_sweep(self):
-        self._group_batch_parity(herm=True, gbs=(4,))
+        self._group_batch_parity(herm=True, gbs=(2, 4))
         self._group_batch_parity(herm=False, gbs=(2, 4))
 
     def test_group_batch_must_divide(self):
