@@ -316,6 +316,15 @@ class TestHalfStreamPipeline:
         self._group_batch_parity(herm=True, gbs=(2, 4))
         self._group_batch_parity(herm=False, gbs=(2, 4))
 
+    def test_group_batch_requires_half_path(self):
+        # the knob must not be silently ignored on non-half engines
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg))
+        with pytest.raises(ValueError, match="half"):
+            collide_ds(cfg, pre, f, contract="vpu", group_batch=2)
+
     def test_group_batch_must_divide(self):
         cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=4, impl="c2c",
                                  dtype="float32")
