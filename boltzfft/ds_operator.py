@@ -78,10 +78,11 @@ class DsPrecomp(NamedTuple):
     # coefficients: planes ``nu_a / n_a``, lines ``nu_b nu_c / (n_b n_c)``
     # (indexed by the free axis), point ``nu_x nu_y nu_z / (nx ny nz)`` —
     # each CDS (n_gl, ns); the g2 stream conjugates them in-trace.
-    pmz_half1: Optional[oz.CSlicedMatrix] = None
+    # (The UNWEIGHTED stream-1 table is not stored: stream 1 always
+    # contracts with the weight-folded ``pmz_half1w`` below.)
     pmz_half2: Optional[oz.CSlicedMatrix] = None
     nyq_coef: Optional[tuple] = None
-    # Stream-1 WEIGHT-FOLDED half tables: ``pmz_half1`` times the per-node
+    # Stream-1 WEIGHT-FOLDED half tables: the stream-1 half matrix times the per-node
     # quadrature weight ``gain_w`` and the matching scaled Nyquist
     # coefficients, both exact host-f64 products.  The half path contracts
     # stream 1 with these so the Hadamard kernel skips the per-node ds
@@ -215,7 +216,7 @@ def build_ds_precomp(
         fx, fy, fz = folded(0), folded(1), folded(2)
         pm1 = (fx[0], fy[0], fz[0])
         pm2 = (fx[1], fy[1], fz[1])
-    pmz_half1 = pmz_half2 = pmz_half1w = nyq_coef = nyq_coef_w = None
+    pmz_half2 = pmz_half1w = nyq_coef = nyq_coef_w = None
     vfwd_zh_sl = vinv_zh_sl = None
     if node_mats and nx % 2 == ny % 2 == nz % 2 == 0:
         # half-spectrum g-stream tables (see the DsPrecomp field comment +
@@ -228,7 +229,6 @@ def build_ds_precomp(
         wt = np.ones((nzh, 1))
         wt[1:] = 2.0
         mzh = wt[None, None] * ejz[None, None]
-        pmz_half1 = oz.slice_matrix_nodes(pz * mzh, slm, slw)
         pmz_half2 = oz.slice_matrix_nodes(np.conj(pz) * mzh, slm, slw)
         # stream-1 weight fold: one exact host-f64 product replaces the
         # Hadamard kernel's per-node ds weight multiply
@@ -268,7 +268,6 @@ def build_ds_precomp(
         vinv_sl=vinv_sl,
         pm1=pm1,
         pm2=pm2,
-        pmz_half1=pmz_half1,
         pmz_half2=pmz_half2,
         nyq_coef=nyq_coef,
         pmz_half1w=pmz_half1w,
@@ -1061,14 +1060,14 @@ def _pad_radial(pre: DsPrecomp, n_groups: int) -> DsPrecomp:
     padded = jax.tree.map(
         pad,
         (pre.ax, pre.ay, pre.az, pre.gain_w, pre.beta1, pre.pm1, pre.pm2,
-         pre.pmz_half1, pre.pmz_half2, pre.nyq_coef,
+         pre.pmz_half2, pre.nyq_coef,
          pre.pmz_half1w, pre.nyq_coef_w),
     )
     return pre._replace(
         ax=padded[0], ay=padded[1], az=padded[2],
         gain_w=padded[3], beta1=padded[4], pm1=padded[5], pm2=padded[6],
-        pmz_half1=padded[7], pmz_half2=padded[8], nyq_coef=padded[9],
-        pmz_half1w=padded[10], nyq_coef_w=padded[11],
+        pmz_half2=padded[7], nyq_coef=padded[8],
+        pmz_half1w=padded[9], nyq_coef_w=padded[10],
     )
 
 
@@ -1083,7 +1082,7 @@ def _ds_precomp_specs(radial_axis: Optional[str]):
         ax=shard, ay=shard, az=shard, gain_w=shard, beta1=shard,
         beta2=rep, vfwd=rep, vinv=rep, vfwd_sl=rep, vinv_sl=rep,
         pm1=shard, pm2=shard,
-        pmz_half1=shard, pmz_half2=shard, nyq_coef=shard,
+        pmz_half2=shard, nyq_coef=shard,
         pmz_half1w=shard, nyq_coef_w=shard,
         vfwd_zh_sl=rep, vinv_zh_sl=rep,
     )
@@ -1100,6 +1099,8 @@ def make_sharded_ds_collision_operator(
     contract: Optional[str] = None,
     oz_cmax: Optional[int] = None,
     g_stream: Optional[str] = None,
+    herm_downstream: Optional[bool] = None,
+    group_batch: Optional[int] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
 
@@ -1115,6 +1116,12 @@ def make_sharded_ds_collision_operator(
     ``f`` (no communication).  Returns ``(collide_fn, precomp)`` with the
     precomp's radial tables padded to shard evenly; place them with
     :func:`place_ds`.
+
+    ``herm_downstream``/``group_batch`` forward to :func:`collide_ds` per
+    shard, matching the single-chip factory's tuning surface.  NOTE the
+    auto rules see the SHARD-LOCAL radial group count, so ``group_batch``'s
+    auto value may differ from the unsharded operator's at the same grid —
+    pass it explicitly when A/B-ing against single-chip numbers.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1141,6 +1148,7 @@ def make_sharded_ds_collision_operator(
         one = lambda fi: collide_ds(
             cfg, p, fi, sub_batch=sub_batch, contract=engine,
             gain_reduce=reducer, oz_cmax=oz_cmax, g_stream=g_stream,
+            herm_downstream=herm_downstream, group_batch=group_batch,
         )
         if ensemble_axis is not None:
             return jax.vmap(one)(f)

@@ -8,7 +8,7 @@ Reference parity:
   * Gauss-Legendre: the reference uses GSL ``gsl_integration_glfixed_table``
     (``Quadratures/GaussLegendre.hpp:10-24``).  Here the nodes/weights come from
     the native C++ extension (Newton iteration in ``long double``; see
-    ``native/quadrature.cpp``) when available, with a NumPy
+    ``native/boltzfft_native.cpp``) when available, with a NumPy
     ``leggauss`` fallback — both agree with GSL to ~1 ulp.
   * Spherical designs: the reference loads whitespace-separated node tables
     (``Quadratures/SphericalDesign.cpp:6-50``) from hard-coded absolute paths;

@@ -93,3 +93,20 @@ class TestHalfStreamSharding:
         q_sh = ds.to_f64(coll_sh(f, bz.place_ds(pre_sh, mesh)))
         scale = np.abs(q_ref).max()
         np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * scale)
+
+    @pytest.mark.slow
+    def test_tuning_knobs_thread_through(self):
+        # group_batch / herm_downstream reach collide_ds per shard (round-3
+        # advisor gap: the sharded factory silently applied the auto rules)
+        cfg, f = _setup(nv=6, ns=6, n_radial=4)
+        coll_ref, pre_ref = bz.make_ds_collision_operator(cfg, contract="vpu")
+        q_ref = ds.to_f64(coll_ref(f, pre_ref))
+
+        mesh = bz.make_mesh([(bz.NODE_AXIS, 2)])
+        coll_sh, pre_sh = bz.make_sharded_ds_collision_operator(
+            cfg, mesh, contract="ozk", g_stream="half", sub_batch=6,
+            group_batch=2, herm_downstream=True,
+        )
+        q_sh = ds.to_f64(coll_sh(f, bz.place_ds(pre_sh, mesh)))
+        scale = np.abs(q_ref).max()
+        np.testing.assert_allclose(q_sh, q_ref, atol=1e-12 * scale)
