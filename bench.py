@@ -30,27 +30,36 @@ import boltzfft as bz
 BASELINE_EVALS_PER_S = 1.0 / 1.9085e-02  # reference, Nv=32 Ns=12, 128-thread CPU
 
 
-def measure(cfg: bz.CollisionConfig, k: int = 32, trials: int = 3) -> float:
-    """Best-of-``trials`` seconds per collision eval, k-chained."""
+def measure(cfg: bz.CollisionConfig, k: int = 32, trials: int = 3):
+    """Best-of-``trials`` ``(seconds per collision eval, BKW Linf)``,
+    k-chained.  The Linf (same convention as the reference drivers' error
+    block, ``maxwell_bkw_fftw.cpp:144-166``) rides in the same jit so every
+    speed row carries the accuracy of the pipeline it timed."""
     pre = bz.build_precomp(cfg)
+    g = cfg.velocity_grid
     f0 = jnp.asarray(
-        np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5)), cfg.real_dtype
+        np.asarray(bz.bkw_f(g.r_squared(), 6.5)), cfg.real_dtype
+    )
+    dq = jnp.asarray(
+        np.asarray(bz.bkw_dfdt(g.r_squared(), 6.5)), cfg.real_dtype
     )
 
-    @partial(jax.jit, static_argnums=2)
-    def chain(f, p, steps):
+    @partial(jax.jit, static_argnums=3)
+    def chain(f, p, d, steps):
         body = lambda i, x: x + 1e-3 * bz.collide(cfg, p, x)
-        return jax.lax.fori_loop(0, steps, body, f)
+        out = jax.lax.fori_loop(0, steps, body, f)
+        err = jnp.max(jnp.abs(bz.collide(cfg, p, f) - d))
+        return jnp.sum(out), err
 
-    out = chain(f0, pre, k)
-    float(jnp.sum(out))  # warm: compile + first run, synced via D2H
+    s, err = chain(f0, pre, dq, k)
+    float(s)  # warm: compile + first run, synced via D2H
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        out = chain(f0, pre, k)
-        float(jnp.sum(out))  # D2H read = real synchronization
+        s, err = chain(f0, pre, dq, k)
+        float(s)  # D2H read = real synchronization
         best = min(best, time.perf_counter() - t0)
-    return best / k
+    return best / (k + 1), float(err)
 
 
 BASELINE_EVALS_PER_S_64 = 1.0 / 4.9432e-01  # reference, Nv=64 Ns=12, 128-thread CPU
@@ -61,11 +70,13 @@ def _measure_with_fallback(nv: int, ns: int, k: int):
     pipeline — and *say so* (metric numbers must name the impl that ran)."""
     try:
         cfg = bz.CollisionConfig(nv=nv, ns=ns, impl="fused", dtype="float32")
-        return measure(cfg, k=k), "fused", None
+        sec, linf = measure(cfg, k=k)
+        return sec, linf, "fused", None
     except Exception as e:
         reason = f"fused failed: {type(e).__name__}: {e}"[:200]
         cfg = bz.CollisionConfig(nv=nv, ns=ns, impl="rfft", dtype="float32")
-        return measure(cfg, k=k), "rfft", reason
+        sec, linf = measure(cfg, k=k)
+        return sec, linf, "rfft", reason
 
 
 def main():
@@ -94,24 +105,26 @@ def main():
         "vs_baseline": 0,
     }
     try:
-        sec, impl, fb = _measure_with_fallback(32, 12, k=32)
+        sec, linf32, impl, fb = _measure_with_fallback(32, 12, k=32)
         evals_per_s = 1.0 / sec
         result.update(
             value=round(evals_per_s, 2),
             vs_baseline=round(evals_per_s / BASELINE_EVALS_PER_S, 3),
             impl=impl,
+            bkw_linf=float(f"{linf32:.4e}"),
         )
         if fb:
             result["fallback_reason"] = fb
         # second tracked config: the big grid (where the MXU roofline target
         # lives); reported inside the same JSON line
         try:
-            sec64, impl64, fb64 = _measure_with_fallback(64, 12, k=8)
+            sec64, linf64, impl64, fb64 = _measure_with_fallback(64, 12, k=8)
             e64 = 1.0 / sec64
             result["nv64_ns12_f32"] = {
                 "value": round(e64, 2),
                 "vs_baseline": round(e64 / BASELINE_EVALS_PER_S_64, 3),
                 "impl": impl64,
+                "bkw_linf": float(f"{linf64:.4e}"),
                 **({"fallback_reason": fb64} if fb64 else {}),
             }
         except Exception as e:

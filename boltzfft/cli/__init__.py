@@ -60,6 +60,13 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
              "rule, gb=2 on grids <= 32/axis on TPU)",
     )
     p.add_argument(
+        "--oz-merge", choices=["on", "off"], default=None,
+        help="ds oz/ozk engines: K-merged complex contraction (half the "
+             "compensated-fold work; exactness gated per stage by "
+             "oz.merge_ok).  Default = measured auto rule (on; +18%% at "
+             "32^3, +11%% at 64^3, digits unchanged)",
+    )
+    p.add_argument(
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )

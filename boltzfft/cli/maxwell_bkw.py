@@ -133,6 +133,7 @@ def _run_ds(args):
     collide_fn, pre = bz.make_ds_collision_operator(
         cfg, jit=False, contract=args.ds_contract, oz_cmax=args.oz_cmax,
         g_stream=args.g_stream, group_batch=args.group_batch,
+        oz_merge=None if args.oz_merge is None else args.oz_merge == "on",
     )
 
     if args.steps > 0:

@@ -294,6 +294,14 @@ DS_PIPELINE_CMAX = 6
 #: oz contraction API.
 DS_PIPELINE_FOLD_TAIL = None
 
+#: Default for collide_ds(oz_merge=None): K-merged contractions in the
+#: per-node transform stages (stages gated per-K by oz.merge_ok).  On by
+#: measurement (TPU v5e, Ns=12, benchmarks/probe_merge.py, single session):
+#: 32^3 43.46 -> 51.22 evals/s (+18%), 64^3 6.90 -> 7.68 (+11%); BKW Linf
+#: unchanged at 32^3 (4.2512e-05) and IMPROVED at 64^3 (3.0689e-12 ->
+#: 3.0686e-12 = the vpu engine's digits).
+DS_PIPELINE_MERGE = True
+
 
 def _pipeline_slicing(cfg: CollisionConfig):
     """Ozaki slicing parameters for the ds pipeline: ``(w, nslices_m,
@@ -416,22 +424,28 @@ def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool, coef=None):
     return (px, py, pz)
 
 
-def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail):
+def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail, merged=False):
     """The main (Nyquist-free) block of one g stream for a node sub-batch:
     y/x complex contractions on the half-z spectrum, then the real_out
     half-depth z contraction.  Returns the exactly-real main field as a DS.
 
     ``fhs`` is the shared masked spectrum pre-swapped to (Nx, Nz/2, Ny);
-    ``m_zh`` the per-node half matrices (DsPrecomp.pmz_half*)."""
+    ``m_zh`` the per-node half matrices (DsPrecomp.pmz_half*).  ``merged``
+    requests the K-merged contraction (half the compensated-fold VPU work)
+    per stage where :func:`boltzfft.oz.merge_ok` holds; ``x_pre`` must then
+    carry the merged preslice layout (the caller uses the same gate)."""
     ck = partial(
         oz.contract_last_oz_nodemat, cmax=cmax, w=w, fold_tail=ftail,
         interpret=None,
     )
-    t = ck(fhs, m_y, repeat=True, x_pre=x_pre)  # (C, Nx, Nzh, Ny)
+    mok = lambda mm: merged and oz.merge_ok(
+        mm.re.shape[-2], sm=mm.re.shape[-3], cmax=cmax, w=w
+    )
+    t = ck(fhs, m_y, repeat=True, x_pre=x_pre, merged=mok(m_y))
     t = jax.tree.map(lambda a: a.transpose(0, 3, 2, 1), t)  # (C, Ny, Nzh, Nx)
-    t = ck(t, m_x)
+    t = ck(t, m_x, merged=mok(m_x))
     t = jax.tree.map(lambda a: a.transpose(0, 3, 1, 2), t)  # (C, Nx, Ny, Nzh)
-    return ck(t, m_zh, real_out=True).re  # (C, Nx, Ny, Nz) real
+    return ck(t, m_zh, real_out=True, merged=mok(m_zh)).re  # (C,Nx,Ny,Nz)
 
 
 def _ds_sum_last(x: DS) -> DS:
@@ -561,6 +575,7 @@ def collide_ds(
     g_stream: Optional[str] = None,
     herm_downstream: Optional[bool] = None,
     group_batch: Optional[int] = None,
+    oz_merge: Optional[bool] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -625,12 +640,28 @@ def collide_ds(
     batching flattens, and >32/axis grids lose (see
     :func:`default_group_batch`).  None = measured auto rule; must divide
     the radial group count.
+
+    ``oz_merge`` (oz/ozk engines): run the K-MERGED complex contraction in
+    the per-node transform stages — both components ride one double-height
+    Ozaki dot so the compensated fold (the kernel's VPU bound) runs half
+    the level lists (:func:`boltzfft.oz.merge_ok` gates exactness per
+    stage; stages whose K fails the bound keep the unmerged kernel).
+    Results agree with unmerged to the ds noise floor (shared per-row
+    slicing scale), not bitwise.  None = measured default ON
+    (:data:`DS_PIPELINE_MERGE`): 32^3 +18%, 64^3 +11%, digits unchanged
+    or improved (see the constant's note).
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
     slw, _, cmax_def = _pipeline_slicing(cfg)
     cmax = cmax_def if oz_cmax is None else oz_cmax
     ftail = DS_PIPELINE_FOLD_TAIL
+    mg = DS_PIPELINE_MERGE if oz_merge is None else bool(oz_merge)
+    # per-stage merge gate: MUST match the one in _g_main_half /
+    # transform3_oz_nodemat (the preslice layout feeds the first stage)
+    mok = lambda mm: mg and oz.merge_ok(
+        mm.re.shape[-2], sm=mm.re.shape[-3], cmax=cmax, w=slw
+    )
     if contract in ("oz", "ozk"):
         kern = True if contract == "ozk" else None
         tf_fwd = partial(
@@ -706,7 +737,10 @@ def collide_ds(
         f_main = jax.tree.map(lambda a: a[..., : nzg // 2] * fmask, f_hat)
         fhs = ds._swap_last2(f_main)  # (Nx, Nz/2, Ny)
         if preslice and jax.default_backend() == "tpu":
-            f_pre_h = oz.preslice_rows(fhs, cmax=cmax, w=slw, interpret=False)
+            f_pre_h = oz.preslice_rows(
+                fhs, cmax=cmax, w=slw, interpret=False,
+                merged=mok(pre.pm1[1]),
+            )
         ckc = _corr_ck(kern, cmax, slw, ftail)
         # stream 1 carries the per-node quadrature weight (host-folded into
         # its z-half matrices and Nyquist coefficients), so the Hadamard
@@ -747,7 +781,10 @@ def collide_ds(
     # bit-identically), so build them only where that path runs.
     f_pre = None
     if nodemat and not half and preslice and jax.default_backend() == "tpu":
-        f_pre = oz.preslice_rows(f_hat, cmax=cmax, w=slw, interpret=False)
+        f_pre = oz.preslice_rows(
+            f_hat, cmax=cmax, w=slw, interpret=False,
+            merged=mok(pre.pm1[2]),
+        )
 
     def group(acc, xs):
         if half:
@@ -783,7 +820,7 @@ def collide_ds(
                     cat(take(mxy1[1]), take(mxy2[1])),
                     cat(take(mxy1[0]), take(mxy2[0])),
                     cat(take(mzh1g), take(mzh2g)),
-                    cmax, slw, ftail,
+                    cmax, slw, ftail, merged=mg,
                 )
                 c = r12.hi.shape[0] // 2
                 r1 = jax.tree.map(lambda a: a[:c], r12)
@@ -808,11 +845,11 @@ def collide_ds(
                 m2 = tuple(jax.tree.map(lambda a: a[sl], m) for m in pm2)
                 g1 = oz.transform3_oz_nodemat(
                     f_hat, m1, kernel=kern, cmax=cmax, w=slw,
-                    fold_tail=ftail, x_pre=f_pre,
+                    fold_tail=ftail, x_pre=f_pre, merged=mg,
                 )
                 g2 = oz.transform3_oz_nodemat(
                     f_hat, m2, kernel=kern, cmax=cmax, w=slw,
-                    fold_tail=ftail, x_pre=f_pre,
+                    fold_tail=ftail, x_pre=f_pre, merged=mg,
                 )
             elif phased:
                 ph = (_cindex(ax, sl), _cindex(ay, sl), _cindex(az, sl))
@@ -1011,7 +1048,7 @@ def make_ds_collision_operator(
     cfg: CollisionConfig, jit: bool = True, dtype=np.float32,
     sub_batch: int = 2, contract: Optional[str] = None,
     oz_cmax: Optional[int] = None, g_stream: Optional[str] = None,
-    group_batch: Optional[int] = None,
+    group_batch: Optional[int] = None, oz_merge: Optional[bool] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
@@ -1019,14 +1056,14 @@ def make_ds_collision_operator(
     ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
     ``contract=None`` resolves via :func:`default_contract`; ``oz_cmax``
     is the Ozaki retention level, ``g_stream`` the inverse-stream
-    formulation, and ``group_batch`` the radial-group launch batching
-    (see :func:`collide_ds`).
+    formulation, ``group_batch`` the radial-group launch batching, and
+    ``oz_merge`` the K-merged contraction toggle (see :func:`collide_ds`).
     """
     pre = build_ds_precomp(cfg, dtype)
     fn = partial(
         collide_ds, cfg, sub_batch=sub_batch,
         contract=contract or default_contract(), oz_cmax=oz_cmax,
-        g_stream=g_stream, group_batch=group_batch,
+        g_stream=g_stream, group_batch=group_batch, oz_merge=oz_merge,
     )
 
     def collide_fn(f, precomp):
@@ -1101,6 +1138,7 @@ def make_sharded_ds_collision_operator(
     g_stream: Optional[str] = None,
     herm_downstream: Optional[bool] = None,
     group_batch: Optional[int] = None,
+    oz_merge: Optional[bool] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
 
@@ -1117,8 +1155,9 @@ def make_sharded_ds_collision_operator(
     precomp's radial tables padded to shard evenly; place them with
     :func:`place_ds`.
 
-    ``herm_downstream``/``group_batch`` forward to :func:`collide_ds` per
-    shard, matching the single-chip factory's tuning surface.  NOTE the
+    ``herm_downstream``/``group_batch``/``oz_merge`` forward to
+    :func:`collide_ds` per shard, matching the single-chip factory's
+    tuning surface.  NOTE the
     auto rules see the SHARD-LOCAL radial group count, so ``group_batch``'s
     auto value may differ from the unsharded operator's at the same grid —
     pass it explicitly when A/B-ing against single-chip numbers.
@@ -1149,6 +1188,7 @@ def make_sharded_ds_collision_operator(
             cfg, p, fi, sub_batch=sub_batch, contract=engine,
             gain_reduce=reducer, oz_cmax=oz_cmax, g_stream=g_stream,
             herm_downstream=herm_downstream, group_batch=group_batch,
+            oz_merge=oz_merge,
         )
         if ensemble_axis is not None:
             return jax.vmap(one)(f)

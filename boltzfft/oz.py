@@ -407,6 +407,16 @@ class PreslicedCDS(NamedTuple):
     all_im: jnp.ndarray
 
 
+class PreslicedM(NamedTuple):
+    """K-MERGED presliced chunks (shared-scale ``[re_i | im_i]`` per chunk
+    block — see :func:`_slice_rows_merged`); consumed by the merged kernel
+    mode.  ``lo``: first ``split`` chunk blocks, ``(rows, split*2K)``;
+    ``full``: all ``sx``, ``(rows, sx*2K)``."""
+
+    lo: jnp.ndarray
+    full: jnp.ndarray
+
+
 def _slice_rows(hi, lo, sig, w, sx, split, opq):
     """The kernel's chunk extraction (see _oz_contract_kernel_v3.slices);
     shared by the in-kernel path, the preslice kernel, and the jnp twin so
@@ -422,6 +432,67 @@ def _slice_rows(hi, lo, sig, w, sx, split, opq):
     return jnp.concatenate(out[:split], axis=1), jnp.concatenate(out, axis=1)
 
 
+def _chunk_rows(hi, lo, sig, w, sx, opq):
+    """Raw chunk list of _slice_rows (no concat) — the merged layout
+    interleaves two components per chunk index before concatenating."""
+    out = []
+    r_hi, r_lo = hi, lo
+    for i in range(sx):
+        m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
+        c = opq(opq(r_hi + m_i) - m_i)
+        out.append(c.astype(jnp.bfloat16))
+        r_hi = opq(r_hi - c)  # exact
+        r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
+    return out
+
+
+def _slice_rows_merged(rh, rl, ih, il, sig, w, sx, split, opq):
+    """Chunk extraction for the K-MERGED complex contraction: both
+    components sliced with the SHARED per-row scale ``sig`` and
+    lane-concatenated PER CHUNK INDEX — chunk block ``i`` is
+    ``[re_i | im_i]`` (2K lanes), matching :func:`_toeplitz_mats_merged`'s
+    K-concatenated matrix rows.  Returns ``(lo, all)`` like _slice_rows."""
+    cr = _chunk_rows(rh, rl, sig, w, sx, opq)
+    ci = _chunk_rows(ih, il, sig, w, sx, opq)
+    cat = lambda n: jnp.concatenate(
+        [jnp.concatenate((cr[i], ci[i]), axis=1) for i in range(n)], axis=1
+    )
+    return cat(split), cat(sx)
+
+
+def merge_ok(k: int, sx: int = DEFAULT_SLICES_X, sm=None,
+             cmax: int = DEFAULT_CMAX, w: int = DEFAULT_W) -> bool:
+    """Whether the K-merged complex contraction stays exact at depth ``k``.
+
+    The merged level-``d`` dot accumulates ``2k * pairs(d)`` nonzero
+    products of two w-bit integers in one f32 accumulator; exactness needs
+    every partial sum <= 2^24, i.e. ``2k * max_pairs * 2^(2w) <= 2^24``.
+    At the default w=7: ``2k * max_pairs <= 1024`` — true for the ds
+    pipeline's K <= 73 at cmax=6 (all 64^3-and-below grids; the z-half
+    stage merges up to Nz=144)."""
+    if sm is None:
+        sm = DEFAULT_SLICES_M
+    pairs = min(cmax + 1, min(sx, cmax + 1), sm)
+    return 2 * k * pairs * (1 << (2 * w)) <= (1 << 24)
+
+
+def _toeplitz_mats_merged(m: CSlicedMatrix, sx: int, cmax: int):
+    """Block-Toeplitz stacks for the K-merged complex contraction.
+
+    The real-output group contracts ``[re_i | im_i]`` chunks against
+    K-concatenated slices ``[M_re; -M_im]``; the imaginary group against
+    ``[M_im; M_re]`` — so each merged dot yields the full complex
+    combination of a level in ONE f32 accumulation (exact under
+    :func:`merge_ok`), and the compensated fold runs 2 level lists
+    instead of 4.  Negation of bf16 slices is exact.  Returns the same
+    structure as :func:`_toeplitz_mats` (the "re"/"im" stacks are the
+    merged real/imag OUTPUT stacks); XLA dead-code-eliminates the im
+    stacks when a real_out kernel never consumes them."""
+    mre = jnp.concatenate((m.re, -m.im), axis=-2)
+    mim = jnp.concatenate((m.im, m.re), axis=-2)
+    return _toeplitz_mats(CSlicedMatrix(re=mre, im=mim), sx, cmax)
+
+
 def _preslice_kernel(
     xrh, xrl, xih, xil, olo_r, oall_r, olo_i, oall_i, *, w, sx, split
 ):
@@ -434,16 +505,26 @@ def _preslice_kernel(
     )
 
 
+def _preslice_kernel_merged(xrh, xrl, xih, xil, olo, oall, *, w, sx, split):
+    opq = lambda v: v  # Mosaic emits EFTs as written
+    sig = jnp.maximum(_phase_sigma(xrh[:]), _phase_sigma(xih[:]))
+    olo[:], oall[:] = _slice_rows_merged(
+        xrh[:], xrl[:], xih[:], xil[:], sig, w, sx, split, opq
+    )
+
+
 def preslice_rows(
     x: CDS, cmax: int = DEFAULT_CMAX, w: int = DEFAULT_W,
-    interpret: Optional[bool] = None,
-) -> PreslicedCDS:
+    interpret: Optional[bool] = None, merged: bool = False,
+):
     """Extract the v3 kernel's bf16 chunk operands once, outside the kernel.
 
     Chunks are a deterministic per-row function (scale from
     :func:`_phase_sigma`, extraction from :func:`_slice_rows`), so a kernel
     consuming these via ``x_pre`` is bit-identical to one slicing in-kernel.
     ``x`` may have any leading shape; rows are the flattened leading axes.
+    ``merged=True`` produces the K-merged shared-scale layout
+    (:class:`PreslicedM`) for the merged kernel mode instead.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -455,6 +536,12 @@ def preslice_rows(
     xrh, xrl = flat(x.re.hi), flat(x.re.lo)
     xih, xil = flat(x.im.hi), flat(x.im.lo)
     if interpret:
+        if merged:
+            sig = jnp.maximum(_phase_sigma(xrh), _phase_sigma(xih))
+            lo, full = _slice_rows_merged(
+                xrh, xrl, xih, xil, sig, w, sx_eff, split, _opaque
+            )
+            return PreslicedM(lo, full)
         lo_r, all_r = _slice_rows(
             xrh, xrl, _phase_sigma(xrh), w, sx_eff, split, _opaque
         )
@@ -465,33 +552,127 @@ def preslice_rows(
     rows = xrh.shape[0]
     rb = _row_block(rows)
     spec_in = pl.BlockSpec((rb, k), lambda i: (i, 0))
+    widths = (
+        (split * 2, sx_eff * 2) if merged else (split, sx_eff, split, sx_eff)
+    )
     outs = [
-        jax.ShapeDtypeStruct((rows, n * k), jnp.bfloat16)
-        for n in (split, sx_eff, split, sx_eff)
+        jax.ShapeDtypeStruct((rows, n * k), jnp.bfloat16) for n in widths
     ]
     out_specs = [
-        pl.BlockSpec((rb, n * k), lambda i: (i, 0))
-        for n in (split, sx_eff, split, sx_eff)
+        pl.BlockSpec((rb, n * k), lambda i: (i, 0)) for n in widths
     ]
+    kern = (
+        partial(_preslice_kernel_merged, w=w, sx=sx_eff, split=split)
+        if merged
+        else partial(_preslice_kernel, w=w, sx=sx_eff, split=split)
+    )
     res = pl.pallas_call(
-        partial(_preslice_kernel, w=w, sx=sx_eff, split=split),
+        kern,
         grid=(rows // rb,),
         in_specs=[spec_in] * 4,
         out_specs=out_specs,
         out_shape=outs,
         interpret=False,
     )(xrh, xrl, xih, xil)
-    return PreslicedCDS(*res)
+    return PreslicedM(*res) if merged else PreslicedCDS(*res)
 
 
 def _oz_contract_kernel_v3(
     *refs, w, sx, split, ell, nlev, sm, pin, real_in=False, real_out=False,
     phase=False, conj=False, has_hi=True, node_mats=False, fold_tail=None,
-    presliced=False,
+    presliced=False, merged=False,
 ):
     """v3 layout: chunks lane-concatenated, block-Toeplitz matrix (see
     the layout-history note above).  Same slice extraction, same exact level
-    values, same compensated fold order as v2 — bit-identical outputs."""
+    values, same compensated fold order as v2 — bit-identical outputs.
+
+    ``merged=True`` (K-merged complex contraction, gated by
+    :func:`merge_ok`): chunks arrive/are extracted in the
+    ``[re_i | im_i]`` shared-scale layout and the matrices are the
+    :func:`_toeplitz_mats_merged` K-concatenated stacks, so each level dot
+    yields a full complex combination in one exact f32 accumulation — the
+    compensated fold runs 2 level lists instead of 4 (the fold is the
+    kernel's VPU bound; measured in docs/PERFORMANCE.md round 4)."""
+    if merged:
+        # real_out passes ONLY the re-output stacks (the im stacks would be
+        # fetched into VMEM per grid step just to be ignored)
+        n_mats = (2 if has_hi else 1) * (1 if real_out else 2)
+        if presliced:
+            (clo_ref, call_ref) = refs[:2]
+            mats = refs[2:2 + n_mats]
+            outs = refs[2 + n_mats:]
+        else:
+            (xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:4]
+            mats = refs[4:4 + n_mats]
+            outs = refs[4 + n_mats:]
+        blo_im_ref = bhi_re_ref = bhi_im_ref = None
+        if real_out:
+            blo_re_ref = mats[0]
+            if has_hi:
+                bhi_re_ref = mats[1]
+            orh_ref, orl_ref = outs
+            oih_ref = oil_ref = None
+        else:
+            if has_hi:
+                blo_re_ref, blo_im_ref, bhi_re_ref, bhi_im_ref = mats
+            else:
+                blo_re_ref, blo_im_ref = mats
+            orh_ref, orl_ref, oih_ref, oil_ref = outs
+        rb = (clo_ref if presliced else xrh_ref).shape[0]
+        opq = _opaque if pin else (lambda v: v)
+        if presliced:
+            cm = (clo_ref[:], call_ref[:])
+        else:
+            sig = jnp.maximum(
+                _phase_sigma(xrh_ref[:]), _phase_sigma(xih_ref[:])
+            )
+            cm = _slice_rows_merged(
+                xrh_ref[:], xrl_ref[:], xih_ref[:], xil_ref[:],
+                sig, w, sx, split, opq,
+            )
+        reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
+        groups = [(cm, blo_re_ref, bhi_re_ref, 1.0, "re")]
+        if not real_out:
+            groups.append((cm, blo_im_ref, bhi_im_ref, 1.0, "im"))
+        n_fold = min(nlev, sx + sm - 1)
+        ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
+        mat = (lambda r: r[0]) if node_mats else (lambda r: r[:])
+        for chunks, b_lo, b_hi, sgn, which in groups:
+            c_lo, c_all = chunks
+            p_lo = jnp.dot(
+                c_lo, mat(b_lo), preferred_element_type=jnp.float32
+            )
+            p_hi = (
+                jnp.dot(c_all, mat(b_hi), preferred_element_type=jnp.float32)
+                if b_hi is not None
+                else None
+            )
+            tail = None
+            for d in range(n_fold):
+                if d < split:
+                    acc = p_lo[:, d * ell:(d + 1) * ell]
+                elif p_hi is not None:
+                    acc = p_hi[:, (d - split) * ell:(d - split + 1) * ell]
+                else:
+                    continue
+                if d >= ft:
+                    tail = acc if tail is None else opq(tail + acc)
+                    continue
+                if which == "re":
+                    reh, rel = _k_add_float(reh, rel, acc, opq)
+                else:
+                    imh, iml = _k_add_float(imh, iml, acc, opq)
+            if tail is not None:
+                if which == "re":
+                    reh, rel = _k_add_float(reh, rel, tail, opq)
+                else:
+                    imh, iml = _k_add_float(imh, iml, tail, opq)
+        orh_ref[:] = reh
+        orl_ref[:] = rel
+        if not real_out:
+            oih_ref[:] = imh
+            oil_ref[:] = iml
+        return
     n_mats = (2 if has_hi else 1) * 2
     if presliced:
         # chunk operands arrive pre-extracted (preslice_rows): no slicing,
@@ -736,6 +917,81 @@ def _oz_contract_v2_jnp(
     return reh, rel, imh, iml
 
 
+def _oz_contract_merged_jnp(
+    sig, xrh, xrl, xih, xil, m_re, m_im, *, w, sx, sm, ell, cmax,
+    real_out=False, fold_tail=None,
+):
+    """Pure-jnp twin of the kernel's MERGED mode (see
+    ``_oz_contract_kernel_v3(merged=True)``).
+
+    Both components are sliced with the shared per-row scale ``sig``; each
+    level value is the full complex combination ``sum_i cr_i@A[d-i] +
+    ci_i@B[d-i]`` with ``(A, B) = (M_re, -M_im)`` for the real output and
+    ``(M_im, M_re)`` for the imaginary one.  Every level value is an exact
+    integer sum under :func:`merge_ok`, so the plain f32 adds here equal
+    the kernel's single-accumulator dot bit-for-bit, in any order."""
+    rows = xrh.shape[0]
+
+    def slices(hi, lo):
+        out = []
+        r_hi, r_lo = hi, lo
+        for i in range(sx):
+            m_i = (1.5 * 2.0 ** (23 - w * (i + 1))) * sig
+            c = _opaque(_opaque(r_hi + m_i) - m_i)
+            out.append(c)
+            r_hi = _opaque(r_hi - c)
+            r_hi, r_lo = two_sum(r_hi, r_lo)
+        return jnp.stack(out)  # (sx, rows, K) f32 (bf16-exact values)
+
+    cr = slices(xrh, xrl)
+    ci = slices(xih, xil)
+    m_re32 = m_re.astype(jnp.float32)  # (sm, K, ell)
+    m_im32 = m_im.astype(jnp.float32)
+
+    reh = rel = jnp.zeros((rows, ell), jnp.float32)
+    imh = iml = jnp.zeros((rows, ell), jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    groups = [(m_re32, -m_im32, "re")]
+    if not real_out:
+        groups.append((m_im32, m_re32, "im"))
+    n_fold = min(cmax + 1, sx + sm - 1)
+    ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
+    for mat_a, mat_b, which in groups:
+        tail = None
+        for d in range(n_fold):
+            acc = None
+            for i in range(min(d, sx - 1), -1, -1):
+                j = d - i
+                if j >= sm:
+                    continue
+                t = _opaque(
+                    jnp.dot(cr[i], mat_a[j], precision=hp,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(ci[i], mat_b[j], precision=hp,
+                              preferred_element_type=jnp.float32)
+                )
+                acc = t if acc is None else _opaque(acc + t)
+            if acc is None:
+                continue
+            if d >= ft:
+                tail = acc if tail is None else _opaque(tail + acc)
+                continue
+            if which == "re":
+                s, e = two_sum(reh, acc)
+                reh, rel = quick_two_sum(s, e + rel)
+            else:
+                s, e = two_sum(imh, acc)
+                imh, iml = quick_two_sum(s, e + iml)
+        if tail is not None:
+            if which == "re":
+                s, e = two_sum(reh, tail)
+                reh, rel = quick_two_sum(s, e + rel)
+            else:
+                s, e = two_sum(imh, tail)
+                imh, iml = quick_two_sum(s, e + iml)
+    return reh, rel, imh, iml
+
+
 def contract_last_oz_kernel(
     x: CDS,
     m: CSlicedMatrix,
@@ -929,8 +1185,9 @@ def contract_last_oz_nodemat(
     interpret: Optional[bool] = None,
     repeat: bool = False,
     fold_tail: Optional[int] = None,
-    x_pre: Optional[PreslicedCDS] = None,
+    x_pre=None,
     real_out: bool = False,
+    merged: Optional[bool] = None,
 ) -> CDS:
     """Per-node-matrix contraction: ``out[c, ..., l] = sum_k x[(c,) ..., k]
     * m[c, k, l]``.
@@ -944,6 +1201,17 @@ def contract_last_oz_nodemat(
     the host (static tables), so the kernel runs NO phase arithmetic at all
     — versus the in-kernel ds phase prologue (``phase=`` mode), which costs
     ~220 VPU flops per element on what is a VPU-bound kernel.
+
+    ``merged`` (None = off): run the K-MERGED complex contraction — both
+    components sliced with a shared per-row scale and contracted against
+    :func:`_toeplitz_mats_merged` K-concatenated stacks, so each Ozaki
+    level needs ONE dot + ONE compensated fold per output component
+    instead of two (the fold is the kernel's VPU bound).  Exactness of the
+    single-accumulator level dots is gated by :func:`merge_ok`; raises if
+    it fails.  The level VALUES equal the unmerged ones as real numbers
+    only when the shared scale equals the per-component scale — otherwise
+    chunks split differently and results agree to the ds noise floor
+    (~2^-49 relative), not bitwise.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -951,6 +1219,13 @@ def contract_last_oz_nodemat(
     ell = m.re.shape[-1]
     shape = x.re.hi.shape
     k = shape[-1]
+    if merged is None:
+        merged = False
+    if merged and not merge_ok(k, sm=sm, cmax=cmax, w=w):
+        raise ValueError(
+            f"merged contraction is not exact at K={k} (merge_ok: "
+            f"2K*pairs*2^(2w) must stay <= 2^24)"
+        )
     if repeat:
         rows_pn = int(np.prod(shape[:-1]))
         out_lead = (c,) + shape[:-1]
@@ -978,6 +1253,16 @@ def contract_last_oz_nodemat(
                 args = tuple(
                     a[sel] for a in (sig_r, sig_i, xrh, xrl, xih, xil)
                 )
+            if merged:
+                outs.append(
+                    _oz_contract_merged_jnp(
+                        jnp.maximum(args[0], args[1]), *args[2:],
+                        m.re[ci], m.im[ci],
+                        w=w, sx=DEFAULT_SLICES_X, sm=sm, ell=ell, cmax=cmax,
+                        real_out=real_out, fold_tail=fold_tail,
+                    )
+                )
+                continue
             outs.append(
                 _oz_contract_v2_jnp(
                     *args, m.re[ci], m.im[ci],
@@ -999,8 +1284,14 @@ def contract_last_oz_nodemat(
         x_idx = lambda i, _b=bpn: (i % _b, 0)
     else:
         x_idx = lambda i: (i, 0)
-    sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
-    mats = list(blo) + (list(bhi) if bhi is not None else [])
+    tmats = _toeplitz_mats_merged if merged else _toeplitz_mats
+    sx_eff, split, blo, bhi = tmats(m, DEFAULT_SLICES_X, cmax)
+    if merged and real_out:
+        # the kernel's merged real_out mode never touches the im-output
+        # stacks — don't fetch them into VMEM per grid step
+        mats = [blo[0]] + ([bhi[0]] if bhi is not None else [])
+    else:
+        mats = list(blo) + (list(bhi) if bhi is not None else [])
     mat_specs = [
         pl.BlockSpec((1,) + a.shape[1:], lambda i, _b=bpn: (i // _b, 0, 0))
         for a in mats
@@ -1011,16 +1302,23 @@ def contract_last_oz_nodemat(
         w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
         pin=False, has_hi=bhi is not None, node_mats=True,
         real_out=real_out, fold_tail=fold_tail, presliced=x_pre is not None,
+        merged=merged,
     )
     if x_pre is not None:
         # shared operand arrives as pre-extracted bf16 chunks (preslice_rows)
         # — the kernel skips slicing entirely; bit-identical by construction
         assert repeat, "x_pre is only meaningful for the shared-x repeat mode"
-        x_args = (x_pre.lo_re, x_pre.all_re, x_pre.lo_im, x_pre.all_im)
-        x_specs = [
-            pl.BlockSpec((rb, n * k), x_idx)
-            for n in (split, sx_eff, split, sx_eff)
-        ]
+        if merged:
+            assert isinstance(x_pre, PreslicedM), (
+                "merged kernel mode needs the merged preslice layout "
+                "(preslice_rows(..., merged=True))"
+            )
+            x_args = (x_pre.lo, x_pre.full)
+            widths = (split * 2, sx_eff * 2)
+        else:
+            x_args = (x_pre.lo_re, x_pre.all_re, x_pre.lo_im, x_pre.all_im)
+            widths = (split, sx_eff, split, sx_eff)
+        x_specs = [pl.BlockSpec((rb, n * k), x_idx) for n in widths]
     else:
         x_args = (xrh, xrl, xih, xil)
         x_specs = [pl.BlockSpec((rb, k), x_idx)] * 4
@@ -1050,7 +1348,8 @@ def transform3_oz_nodemat(
     repeat: bool = True,
     fold_tail: Optional[int] = None,
     w: int = DEFAULT_W,
-    x_pre: Optional[PreslicedCDS] = None,
+    x_pre=None,
+    merged: Optional[bool] = None,
 ) -> CDS:
     """``IFFT3(alpha_c . x)`` for a block of nodes with the separable
     per-axis phases FOLDED INTO per-node transform matrices.
@@ -1072,13 +1371,20 @@ def transform3_oz_nodemat(
         contract_last_oz_nodemat, cmax=cmax, interpret=interp,
         fold_tail=fold_tail, w=w,
     )
+    # merged applies per axis: each stage's K must pass the merge_ok
+    # exactness bound independently (anisotropic grids differ per axis)
+    mok = lambda mm: bool(merged) and merge_ok(
+        mm.re.shape[-2], sm=mm.re.shape[-3], cmax=cmax, w=w
+    )
     # x_pre (pre-extracted chunks of the shared x, see preslice_rows) feeds
     # only the first contraction — later axes consume per-node outputs.  The
     # jnp twin slices inline either way (bit-identical chunks).
     pre_kw = {"x_pre": x_pre} if (x_pre is not None and repeat) else {}
-    x = ck(x, mz, repeat=repeat, **pre_kw)  # z: (C, Nx, Ny, Nz)
-    x = ds._swap_last2(ck(ds._swap_last2(x), my))  # y
-    x = ds._roll_axis(ck(ds._roll_axis(x, -3, -1), mx), -1, -3)  # x
+    x = ck(x, mz, repeat=repeat, merged=mok(mz), **pre_kw)  # z: (C,Nx,Ny,Nz)
+    x = ds._swap_last2(ck(ds._swap_last2(x), my, merged=mok(my)))  # y
+    x = ds._roll_axis(
+        ck(ds._roll_axis(x, -3, -1), mx, merged=mok(mx)), -1, -3
+    )  # x
     return x
 
 

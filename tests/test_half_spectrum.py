@@ -341,3 +341,98 @@ class TestHalfStreamPipeline:
         f = ds.from_f64(_noise_f(cfg))
         with pytest.raises(ValueError, match="half"):
             collide_ds(cfg, pre, f, contract="ozk", g_stream="half")
+
+
+class TestMergedContraction:
+    """K-merged complex contraction (oz_merge / contract_last_oz_nodemat
+    merged=True): both CDS components ride one double-height Ozaki dot so
+    the compensated fold runs half the level lists.  Exactness of the
+    single-accumulator level dots is gated by oz.merge_ok; results agree
+    with the unmerged engine to the ds noise floor (shared per-row slicing
+    scale), not bitwise."""
+
+    def test_merged_pipeline_matches_vpu(self):
+        from boltzfft import oz
+
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=2, impl="c2c",
+                                 dtype="float32")
+        assert oz.merge_ok(6)  # the gate is live at this size
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=11))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        for gs in ("full", "half"):
+            q = ds.to_f64(
+                collide_ds(cfg, pre, f, contract="ozk", g_stream=gs,
+                           oz_merge=True)
+            )
+            rel = np.max(np.abs(q - q_vpu)) / np.max(np.abs(q_vpu))
+            assert rel < 1e-12, (gs, rel)
+
+    def test_merged_stage_exact_on_mismatched_scales(self):
+        # shared per-row scale: the smaller component is sliced against the
+        # larger one's sigma — still ds-floor-exact even at 10^6 magnitude
+        # mismatch between re and im
+        from boltzfft import oz
+
+        rng = np.random.default_rng(2)
+        re = rng.standard_normal((8, 16)) * 1e3
+        im = rng.standard_normal((8, 16)) * 1e-3
+        x = oz.CDS(ds.from_f64(re), ds.from_f64(im))
+        m64 = rng.standard_normal((2, 16, 12)) + 1j * rng.standard_normal(
+            (2, 16, 12)
+        )
+        m = oz.slice_matrix_nodes(m64)
+        out = oz.contract_last_oz_nodemat(
+            x, m, repeat=True, interpret=True, merged=True
+        )
+        val = (
+            np.asarray(out.re.hi, np.float64) + np.asarray(out.re.lo, np.float64)
+        ) + 1j * (
+            np.asarray(out.im.hi, np.float64) + np.asarray(out.im.lo, np.float64)
+        )
+        exact = np.einsum("rk,ckl->crl", re + 1j * im, m64)
+        rel = np.max(np.abs(val - exact)) / np.max(np.abs(exact))
+        assert rel < 1e-13, rel
+
+    def test_merged_real_out_matches_unmerged(self):
+        from boltzfft import oz
+
+        rng = np.random.default_rng(3)
+        re = rng.standard_normal((16, 8))
+        im = rng.standard_normal((16, 8))
+        x = oz.CDS(ds.from_f64(re), ds.from_f64(im))
+        m64 = rng.standard_normal((2, 8, 16)) + 1j * rng.standard_normal(
+            (2, 8, 16)
+        )
+        m = oz.slice_matrix_nodes(m64)
+        a = oz.contract_last_oz_nodemat(
+            x, m, repeat=True, interpret=True, real_out=True
+        )
+        b = oz.contract_last_oz_nodemat(
+            x, m, repeat=True, interpret=True, real_out=True, merged=True
+        )
+        va = np.asarray(a.re.hi, np.float64) + np.asarray(a.re.lo, np.float64)
+        vb = np.asarray(b.re.hi, np.float64) + np.asarray(b.re.lo, np.float64)
+        rel = np.max(np.abs(va - vb)) / np.max(np.abs(va))
+        assert rel < 1e-13, rel
+
+    def test_merged_raises_beyond_exactness_bound(self):
+        # at K=128 the merged level dot would overflow the exact-f32
+        # accumulation budget (merge_ok false) — explicit merged=True must
+        # raise, and the pipeline's auto gate must stay unmerged silently
+        from boltzfft import oz
+
+        assert not oz.merge_ok(128)
+        rng = np.random.default_rng(4)
+        x = oz.CDS(
+            ds.from_f64(rng.standard_normal((8, 128))),
+            ds.from_f64(rng.standard_normal((8, 128))),
+        )
+        m = oz.slice_matrix_nodes(
+            rng.standard_normal((1, 128, 8))
+            + 1j * rng.standard_normal((1, 128, 8))
+        )
+        with pytest.raises(ValueError, match="merge"):
+            oz.contract_last_oz_nodemat(
+                x, m, repeat=True, interpret=True, merged=True
+            )
