@@ -107,8 +107,15 @@ def _gain_chunk_dft(cfg: CollisionConfig, pre: Precomp, f_hat, rho, sigma, gain_
 
     def cmatmul(spec_str, mr, mi, tr, ti):
         """Complex contraction (mr + i mi) . (tr + i ti) via 3 real einsums
-        (Karatsuba/Gauss trick: 25% fewer MXU FLOPs than the naive 4)."""
-        es = partial(jnp.einsum, spec_str, preferred_element_type=rd)
+        (Karatsuba/Gauss trick: 25% fewer MXU FLOPs than the naive 4).
+        ``cfg.fused_precision`` selects the MXU pass count here too: TPU
+        default f32 matmuls run bf16 passes (~1.3e-1 rel on the BKW probe,
+        measured in Results/selfcheck_matrix_r4.txt); "highest" restores
+        f32-class output."""
+        es = partial(
+            jnp.einsum, spec_str, preferred_element_type=rd,
+            precision=cfg.fused_precision,
+        )
         p1 = es(mr, tr)
         p2 = es(mi, ti)
         p3 = es(mr + mi, tr + ti)

@@ -90,10 +90,11 @@ class CollisionConfig:
     node_chunk: Optional[int] = None  # nodes per scan step; None = whole batch
     use_pallas: bool = False  # fuse alpha-multiply + gain-reduce via Pallas (rfft only)
     fused_nodes_per_step: int = 24  # impl="fused": nodes per megakernel grid step
-    # impl="fused" matmul precision: "default" is fastest (TPU f32 matmuls use
-    # the low-precision fast path; BKW Linf 5.0e-5 vs 4.25e-5 at 32^3, still
-    # method-error dominated); "highest" matches the f64 reference digits at
-    # ~2-3x the kernel cost.
+    # MXU matmul precision for impl="fused" AND the impl="dft" einsums:
+    # "default" is fastest (TPU f32 matmuls use the low-precision fast path;
+    # BKW Linf 5.0e-5 vs 4.25e-5 at 32^3, still method-error dominated;
+    # dft-path probe 1.7e-1 vs rfft's 4.1e-2, Results/selfcheck_matrix_r4.txt);
+    # "highest" restores f32-class matmuls at ~2-3x the kernel cost.
     fused_precision: str = "default"
     # impl="fused" transform scheme: "kron" (dense (N^2,N^2) y/z Kron matmul,
     # N <= 32), "ct" (Cooley-Tukey block factorization, any N with a valid
