@@ -26,6 +26,11 @@ shards over ICI):
 
 Flags: --cells N (default 16), --steps N (default 12), --local runs the
 unsharded single-device solver for comparison.
+
+The production driver grown from this example lives at
+``boltzfft.cli.taylor_green_2d3v`` (timing trials, full VHS/impl/aniso
+flag set, measured Results logs); this file stays as the minimal
+readable walkthrough.
 """
 
 import argparse

@@ -116,3 +116,35 @@ class TestEnsembleBKW:
 
         with pytest.raises(SystemExit):
             main(["--Nv", "8", "--Ns", "6", "--ensemble", "3", "--ens-mesh", "2"])
+
+
+class TestTaylorGreen2D3V:
+    def test_runs_and_decays(self, capsys):
+        from boltzfft.cli.taylor_green_2d3v import main
+
+        assert main(["--cells", "4", "--Nv", "8", "--Ns", "6",
+                     "--steps", "2", "--n-radial", "4",
+                     "--mass-tol", "0.05"]) == 0
+        out = capsys.readouterr().out
+        assert "bulk-KE" in out and "cells vmapped" in out
+
+    def test_sharded_matches_mode_line(self, capsys):
+        from boltzfft.cli.taylor_green_2d3v import main
+
+        assert main(["--cells", "8", "--Nv", "8", "--Ns", "6",
+                     "--steps", "2", "--n-radial", "4",
+                     "--mass-tol", "0.05", "--mesh", "4x2"]) == 0
+        out = capsys.readouterr().out
+        assert "spatial decomposition 4x2" in out
+
+    def test_bad_mesh_split(self):
+        from boltzfft.cli.taylor_green_2d3v import main
+
+        with pytest.raises(SystemExit):
+            main(["--cells", "6", "--Nv", "8", "--Ns", "6", "--mesh", "4x2"])
+
+    def test_ds_rejected(self):
+        from boltzfft.cli.taylor_green_2d3v import main
+
+        with pytest.raises(SystemExit):
+            main(["--cells", "4", "--Nv", "8", "--Ns", "6", "--impl", "ds"])
