@@ -10,7 +10,13 @@ Methodology: k collision evals chained as an Euler relaxation inside one jit
 device-to-host read of the result.  This measures sustained device throughput
 — per-call dispatch through the remote-TPU tunnel costs ~30 ms and
 ``block_until_ready`` does not synchronize it, so naive per-call timing is
-meaningless here.
+meaningless here.  Chain lengths are sized so the one-per-chain dispatch
+RTT (~37-45 ms measured, ``benchmarks/probe_chain.py`` round 4) is <10% of
+the chain: production use IS a long chained relaxation (``timestepper.relax``
+/ the RK loops), so the sustained rate is the deployment-relevant number.
+The fori_loop bound stays STATIC (as in ``lax.scan``) — measured round 4:
+a traced dynamic bound costs ~2x per eval at 64^3 on identical (bitwise)
+results because XLA schedules the known-trip-count loop far better.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -105,7 +111,7 @@ def main():
         "vs_baseline": 0,
     }
     try:
-        sec, linf32, impl, fb = _measure_with_fallback(32, 12, k=32)
+        sec, linf32, impl, fb = _measure_with_fallback(32, 12, k=128)
         evals_per_s = 1.0 / sec
         result.update(
             value=round(evals_per_s, 2),
@@ -118,7 +124,7 @@ def main():
         # second tracked config: the big grid (where the MXU roofline target
         # lives); reported inside the same JSON line
         try:
-            sec64, linf64, impl64, fb64 = _measure_with_fallback(64, 12, k=8)
+            sec64, linf64, impl64, fb64 = _measure_with_fallback(64, 12, k=64)
             e64 = 1.0 / sec64
             result["nv64_ns12_f32"] = {
                 "value": round(e64, 2),
@@ -133,7 +139,7 @@ def main():
         # the Ozaki MXU contraction — f64-class digits on f32 hardware
         # (boltzfft/oz.py); reports its measured BKW error alongside speed
         try:
-            result["ds_oz_nv32_ns12"] = _measure_ds(32, 12, k=8)
+            result["ds_oz_nv32_ns12"] = _measure_ds(32, 12, k=32)
         except Exception as e:
             result["ds_oz_nv32_ns12"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         # fourth tracked config: ds-oz at 64^3 — the accuracy axis the
@@ -141,7 +147,7 @@ def main():
         # Linf 3.07e-12, BASELINE.md:18).  vs_baseline > 1 here means the TPU
         # beats the reference at the reference's own accuracy.
         try:
-            r64 = _measure_ds(64, 12, k=4)
+            r64 = _measure_ds(64, 12, k=12)
             r64["vs_baseline"] = round(r64["value"] * 4.9432e-01, 3)
             result["ds_oz_nv64_ns12"] = r64
         except Exception as e:
