@@ -66,8 +66,14 @@ def taylor_green_f0(cfg, nc: int, *, u0: float, temperature: float,
 def main(argv=None):
     from boltzfft.cli import default_dtype, standard_parser, vhs_kwargs
 
+    # Ns=12 default: anisotropic (bulk-shifted) states expose the k=0
+    # gain/loss quadrature mismatch — the loss kernel's sigma integral is
+    # exact while the gain's uses the Ns-point design, so mass(Q) carries
+    # the design's quadrature error.  Measured on the two-beam state:
+    # 6.9e-3 (Ns=6) -> 4.7e-5 (12) -> 9.6e-7 (32), Nv-independent.  The
+    # homogeneous BKW drivers are isotropic and never see this.
     p = standard_parser(__doc__.splitlines()[0])
-    p.set_defaults(Nv=16, Ns=6)
+    p.set_defaults(Nv=16, Ns=12)
     p.add_argument("--cells", type=int, default=16,
                    help="spatial cells per axis (periodic square)")
     p.add_argument("--steps", type=int, default=20)
@@ -83,9 +89,11 @@ def main(argv=None):
                         "single device, cells vmapped)")
     p.add_argument("--scheme", choices=["muscl", "upwind"], default="muscl")
     p.add_argument("--mass-tol", type=float, default=1e-2,
-                   help="relative mass-drift gate; the drift is the spectral "
-                        "operator's mass-moment truncation (1.8e-3 at nv=12, "
-                        "vanishes with --Nv), not an advection error")
+                   help="relative mass-drift gate; the drift is the gain "
+                        "quadrature's mass-moment error on anisotropic "
+                        "states (vanishes with --Ns: 6.9e-3 at Ns=6, "
+                        "4.7e-5 at 12, 9.6e-7 at 32), not an advection "
+                        "error — the MUSCL transport conserves to roundoff")
     args = p.parse_args(argv)
 
     import jax
@@ -178,7 +186,7 @@ def main(argv=None):
 
     drift = abs(mass1 - mass0) / mass0
     print(f"total mass: {mass0:.6f} -> {mass1:.6f} (rel drift {drift:.2e}; "
-          f"spectral mass-moment truncation at nv={cfg.nv})")
+          f"gain-quadrature mass-moment error at Ns={cfg.ns})")
     print(f"bulk-KE: {ke0:.6f} -> {ke1:.6f} "
           f"({100.0 * ke1 / ke0:.1f}% of initial)")
     if not (ke1 < ke0):

@@ -10,9 +10,10 @@ damps the bulk flow while collisions (finite Knudsen) set the effective
 viscosity of the decay (collisions alone conserve each cell's momentum —
 compare a ``--knudsen 1e9`` collisionless run to see their effect on the
 decay rate).  Mass is conserved to machine precision by the MUSCL
-advection; the residual drift printed at the end is the spectral
-operator's mass-moment truncation at the chosen velocity resolution
-(vanishes with ``--nv``).  This is the scaled-up production demo of the
+advection; the residual drift printed at the end is the gain
+quadrature's mass-moment error on anisotropic (bulk-shifted) states
+(vanishes with the design order: 6.9e-3 at Ns=6, 4.7e-5 at Ns=12,
+9.6e-7 at Ns=32 — Nv-independent).  This is the scaled-up production demo of the
 spatially decomposed solver
 (`transport.make_sharded_step_2d`: shard_map over BOTH spatial axes,
 ppermute halo exchange, shard-local collision FFTs — zero cross-cell
@@ -58,7 +59,7 @@ def main(argv=None):
                    help="unsharded single-device solver")
     args = p.parse_args(argv)
 
-    cfg = bz.CollisionConfig(nv=args.nv, ns=6, n_radial=6, impl="rfft")
+    cfg = bz.CollisionConfig(nv=args.nv, ns=12, n_radial=6, impl="rfft")
     collide, pre = bz.make_collision_operator(cfg, jit=False)
     g = cfg.velocity_grid
 
@@ -126,8 +127,8 @@ def main(argv=None):
                   f"({100.0 * ke / ke0:.1f}% of initial)")
     mass1, ke1 = diagnostics(f)
     drift = abs(mass1 - mass0) / mass0
-    print(f"mass drift {drift:.2e} (spectral mass-moment truncation at "
-          f"nv={cfg.nv}); vortex decayed to {100.0 * ke1 / ke0:.1f}% bulk-KE")
+    print(f"mass drift {drift:.2e} (gain-quadrature mass-moment error at "
+          f"Ns={cfg.ns}); vortex decayed to {100.0 * ke1 / ke0:.1f}% bulk-KE")
     assert ke1 < ke0, "bulk kinetic energy must decay"
     return 0
 

@@ -547,3 +547,54 @@ class TestFusedVmemFallback:
             _, pre = bz.make_collision_operator(cfg, jit=False)
         # rfft precomp: half-spectrum z modes
         assert pre.lz.shape[0] == 128 // 2 + 1
+
+
+class TestMassConservationAnisotropic:
+    """The k=0 gain/loss mismatch on anisotropic states.
+
+    The loss kernel's sigma integral is exact (4*pi*sincc closed form,
+    ``FFTWBoltzmannOperator.cpp:104-117``) while the gain uses the
+    Ns-point spherical design, so mass(Q) on anisotropic (bulk-shifted)
+    states carries the design's quadrature error — Nv-INDEPENDENT, and
+    vanishing spectrally with Ns (measured f64: 6.9e-3 at Ns=6, 4.7e-5
+    at 12, 9.6e-7 at 32 on the two-beam state).  Isotropic BKW states
+    never see this; the Taylor-Green driver defaults to Ns=12 for it.
+    """
+
+    def _two_beam(self, cfg):
+        from boltzfft.bkw import maxwellian
+
+        g = cfg.velocity_grid
+        vsq = lambda u: (
+            (np.asarray(g.vx)[:, None, None] - u) ** 2
+            + np.asarray(g.vy)[None, :, None] ** 2
+            + np.asarray(g.vz)[None, None, :] ** 2
+        )
+        f = 0.5 * (
+            np.asarray(maxwellian(vsq(0.8), 1.0, 3.0))
+            + np.asarray(maxwellian(vsq(-0.8), 1.0, 3.0))
+        )
+        return jnp.asarray(f, cfg.real_dtype)
+
+    def test_mass_error_vanishes_with_ns(self):
+        drifts = {}
+        for ns in (6, 32):
+            cfg = bz.CollisionConfig(nv=16, ns=ns, impl="rfft",
+                                     dtype="float64", n_radial=16)
+            fn, pre = bz.make_collision_operator(cfg)
+            q = fn(self._two_beam(cfg), pre)
+            drifts[ns] = abs(float(jnp.sum(q)) * cfg.velocity_grid.cell_volume)
+        assert drifts[6] > 1e-3  # the coarse design's real error
+        assert drifts[32] < 1e-5  # spectral convergence in the design order
+        assert drifts[32] < drifts[6] / 100.0
+
+    def test_mass_error_nv_independent(self):
+        vals = []
+        for nv in (12, 16):
+            cfg = bz.CollisionConfig(nv=nv, ns=6, impl="rfft",
+                                     dtype="float64", n_radial=12)
+            fn, pre = bz.make_collision_operator(cfg)
+            q = fn(self._two_beam(cfg), pre)
+            vals.append(float(jnp.sum(q)) * cfg.velocity_grid.cell_volume)
+        # refining the velocity grid must NOT fix it (same design error)
+        assert abs(vals[0] - vals[1]) < 0.3 * abs(vals[0])
