@@ -41,6 +41,7 @@ import boltzfft as bz
 from boltzfft import ds, oz
 from boltzfft.ds_operator import (
     DS_PIPELINE_FOLD_TAIL,
+    DS_PIPELINE_MERGE,
     _pipeline_slicing,
     build_ds_precomp,
     collide_ds,
@@ -87,6 +88,10 @@ def main(argv=None):
     p.add_argument("--no-preslice", action="store_true",
                    help="measure the g-transform stage without the "
                         "pre-sliced shared-operand mode")
+    p.add_argument("--no-merged", action="store_true",
+                   help="model the UNMERGED contractions (the pipeline "
+                        "default is oz_merge=True; the stage bodies must "
+                        "match it or the split is stale)")
     p.add_argument("--full-stream", action="store_true",
                    help="time the full-stream (g_stream='full') stages "
                         "instead of the default half-spectrum ones")
@@ -161,12 +166,22 @@ def main(argv=None):
         m_x = cat(take0(pre.pm1[0]), take0(pre.pm2[0]))
         m_zh = cat(take0(pre.pmz_half1w), take0(pre.pmz_half2))
 
+        # mirror collide_ds's per-stage merge gate (stale-split bug round 4:
+        # the pipeline default merged its g-main stages while this model
+        # timed unmerged ones)
+        mg = not args.no_merged and DS_PIPELINE_MERGE
+        mok = lambda mm: mg and oz.merge_ok(
+            mm.re.shape[-2], sm=mm.re.shape[-3], cmax=cmax, w=slw
+        )
+
         def gmain_body(c):
             xp = (
-                oz.preslice_rows(c, cmax=cmax, w=slw, interpret=False)
+                oz.preslice_rows(c, cmax=cmax, w=slw, interpret=False,
+                                 merged=mok(m_y))
                 if use_pre else None
             )
-            r12 = _g_main_half(c, xp, m_y, m_x, m_zh, cmax, slw, ftail)
+            r12 = _g_main_half(c, xp, m_y, m_x, m_zh, cmax, slw, ftail,
+                               merged=mg)
             add_h = r12.hi[0, :, :, :nzh].transpose(0, 2, 1) * 1e-3
             add_l = r12.lo[0, :, :, :nzh].transpose(0, 2, 1) * 1e-3
             return CDS(

@@ -34,6 +34,14 @@ from . import quadrature as _quad
 
 _FALLBACK_HBM_BUDGET = 6 << 30  # measured-good working-set budget on 16-GB v5e
 _HBM_BUDGET_FRACTION = 6 / 16  # leave the rest for XLA FFT workspace + slack
+# Staged-pipeline chunk policy on TPU (see CollisionConfig.auto_chunk and
+# Results/staged_chunk_r4.txt): grids with >= this many spectral modes run
+# tiny node chunks (HBM-thrash regime); below it, whole-batch (fill regime).
+# 32^3 rfft = 17,408 modes (whole-batch wins 1.8x); 48^3 rfft = 57,600
+# (chunked wins).  The measured large-grid optimum is flat across 2-4 with
+# 2 best at 96^3/128^3.
+_TPU_SMALL_CHUNK_MODES = 40_000
+_TPU_LARGE_GRID_CHUNK = 2
 
 
 def _device_hbm_budget() -> int:
@@ -196,22 +204,43 @@ class CollisionConfig:
         return max(1, min(c, self.n_nodes))
 
     def auto_chunk(self, budget_bytes: Optional[int] = None) -> int:
-        """Node-chunk size whose working set fits the HBM budget.
+        """Node-chunk size for the staged pipelines.
 
-        The per-chunk working set is ~6 complex mode-grid arrays (alpha1*f_hat,
-        alpha2*f_hat, g1, g2, h, h_hat — the reference materializes 5 of these
-        at full batch size, ``FFTWBoltzmannOperator.cpp:30-37``, which cannot
-        fit at Nv=64/Ns=32).  Bigger chunks are measurably faster (fewer scan
-        steps, fatter FFT batches), so this picks the fewest equal chunks that
-        fit rather than a raw cap.  The budget defaults to what the attached
-        device reports (see ``_device_hbm_budget``).
+        Two measured regimes on TPU (Results/staged_chunk_r4.txt, v5e,
+        Ns=12, k-chained):
+
+        * Small grids (< ~40k modes, i.e. <= 32^3 rfft): one-node FFT
+          batches underfill the chip — the UNCHUNKED whole-batch pipeline
+          wins big (32^3: 309.9 vs 169.2 evals/s at chunk=16).
+        * Large grids: single-node transforms already fill the chip and
+          the whole-batch working set thrashes HBM — TINY chunks win
+          (96^3: 1.91 at chunk=2 vs 1.04 unchunked; 128^3: 2.81 vs 1.36;
+          64^3: 22.2 vs 18.5).  Round 3's "node-chunk insensitive at
+          128^3" only scanned chunks >= 19, all in the flat thrashing
+          plateau.
+
+        Off-TPU (and as the TPU upper bound) the HBM-budget fit applies:
+        the per-chunk working set is ~6 complex mode-grid arrays
+        (alpha1*f_hat, alpha2*f_hat, g1, g2, h, h_hat — the reference
+        materializes 5 of these at full batch size,
+        ``FFTWBoltzmannOperator.cpp:30-37``, which cannot fit at
+        Nv=64/Ns=32) plus ~3 equivalents of XLA FFT workspace.  The budget
+        defaults to what the attached device reports
+        (see ``_device_hbm_budget``).
         """
-        if budget_bytes is None:
-            budget_bytes = _device_hbm_budget()
         nx, ny, nz = self.grid_shape
         n_modes = nx * ny * (nz // 2 + 1 if self.impl == "rfft" else nz)
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and n_modes >= _TPU_SMALL_CHUNK_MODES:
+            return min(_TPU_LARGE_GRID_CHUNK, self.n_nodes)
+        if budget_bytes is None:
+            budget_bytes = _device_hbm_budget()
         itemsize = 16 if self.dtype == "float64" else 8
-        # ~6 pipeline arrays plus ~3 equivalents of XLA FFT workspace
         per_node = 9 * n_modes * itemsize
         cap = max(1, budget_bytes // per_node)
         if cap >= self.n_nodes:

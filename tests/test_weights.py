@@ -60,6 +60,20 @@ class TestAutoChunk:
         monkeypatch.setattr(w, "_device_hbm_budget", lambda: 1 << 30)
         assert cfg.auto_chunk() == small
 
+    def test_tpu_chunk_regimes(self, monkeypatch):
+        # Measured two-regime policy (Results/staged_chunk_r4.txt): big
+        # grids run tiny chunks on TPU, small grids keep the whole batch.
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        big = bz.CollisionConfig(nv=128, ns=12, impl="rfft", dtype="float32")
+        assert big.chunk == 2
+        small = bz.CollisionConfig(nv=32, ns=12, impl="rfft", dtype="float32")
+        assert small.chunk == small.n_nodes
+        # off-TPU keeps the HBM-fit rule at any size
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert big.auto_chunk(budget_bytes=64 << 30) == big.n_nodes
+
 
 class TestPrecomp:
     def test_padded_nodes_have_zero_weight(self):
