@@ -424,7 +424,10 @@ def _nyq_corrections(cfg, pre, f_hat, ck, conj: bool, coef=None):
     return (px, py, pz)
 
 
-def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail, merged=False):
+def _g_main_half(
+    fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail, merged=False,
+    grid_shape=None, fused=False,
+):
     """The main (Nyquist-free) block of one g stream for a node sub-batch:
     y/x complex contractions on the half-z spectrum, then the real_out
     half-depth z contraction.  Returns the exactly-real main field as a DS.
@@ -433,7 +436,19 @@ def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail, merged=False):
     ``m_zh`` the per-node half matrices (DsPrecomp.pmz_half*).  ``merged``
     requests the K-merged contraction (half the compensated-fold VPU work)
     per stage where :func:`boltzfft.oz.merge_ok` holds; ``x_pre`` must then
-    carry the merged preslice layout (the caller uses the same gate)."""
+    carry the merged preslice layout (the caller uses the same gate).
+
+    ``fused`` runs all three contractions in ONE kernel per node
+    (:func:`boltzfft.oz.gmain3_nodemat`): the stage intermediates never
+    leave VMEM (the staged boundaries — ds write + XLA transpose + ds read
+    — are the bulk of the eval's cmax-independent cost; see
+    docs/PERFORMANCE.md round 4).  Bit-identical to the staged merged
+    kernels; the caller gates it by :func:`_gmain3_ok`."""
+    if fused:
+        return oz.gmain3_nodemat(
+            x_pre, m_y, m_x, m_zh, grid_shape, cmax=cmax, w=w,
+            fold_tail=ftail,
+        )
     ck = partial(
         oz.contract_last_oz_nodemat, cmax=cmax, w=w, fold_tail=ftail,
         interpret=None,
@@ -446,6 +461,32 @@ def _g_main_half(fhs, x_pre, m_y, m_x, m_zh, cmax, w, ftail, merged=False):
     t = ck(t, m_x, merged=mok(m_x))
     t = jax.tree.map(lambda a: a.transpose(0, 3, 1, 2), t)  # (C, Nx, Ny, Nzh)
     return ck(t, m_zh, real_out=True, merged=mok(m_zh)).re  # (C,Nx,Ny,Nz)
+
+
+def _gmain3_ok(cfg: CollisionConfig, pre: DsPrecomp, cmax: int, w: int) -> bool:
+    """Auto gate for the fused 3-stage g-main kernel: TPU, merged exactness
+    on all three stages, and a VMEM estimate under the 16 MB scoped budget
+    (resident shared chunks + double-buffered per-node stacks + the largest
+    two live intermediates + chunk slabs)."""
+    if jax.default_backend() != "tpu":
+        return False
+    nx, ny, nz = cfg.grid_shape
+    nzh = nz // 2
+    sm = pre.pm1[0].re.shape[-3]
+    for k in (ny, nx, nzh):
+        if not oz.merge_ok(k, sm=sm, cmax=cmax, w=w):
+            return False
+    sx = min(oz.DEFAULT_SLICES_X, cmax + 1)
+    units = sum(
+        n * (d1 - d0) for (d0, d1, n) in oz._level_groups(cmax + 1, sx)
+    )
+    c_full = 2 * sx * 2 * (nx * nzh * ny)  # resident bf16 chunks
+    mats = 2 * 2 * units * 2 * 2 * (ny * ny + nx * nx + nzh * nz)
+    t_planes = 4 * 4 * max(nx * nzh * ny, ny * nzh * nx, nx * ny * nzh)
+    slabs = 2 * sx * 2 * max(ny * nzh * nx, nx * ny * nzh)
+    out = 2 * 4 * nx * ny * nz
+    est = c_full + mats + 2 * t_planes + slabs + out
+    return est <= 14 * 2**20
 
 
 def _ds_sum_last(x: DS) -> DS:
@@ -576,6 +617,7 @@ def collide_ds(
     herm_downstream: Optional[bool] = None,
     group_batch: Optional[int] = None,
     oz_merge: Optional[bool] = None,
+    gmain_fused: Optional[bool] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -650,6 +692,13 @@ def collide_ds(
     slicing scale), not bitwise.  None = measured default ON
     (:data:`DS_PIPELINE_MERGE`): 32^3 +18%, 64^3 +11%, digits unchanged
     or improved (see the constant's note).
+
+    ``gmain_fused`` (half path, TPU): evaluate each node's whole main block
+    — y, x, half-z contractions — in ONE kernel with in-register transposes
+    (:func:`boltzfft.oz.gmain3_nodemat`); the stage intermediates never
+    touch HBM.  Bit-identical to the staged merged kernels (same chunk
+    values, dots, and fold order).  None = auto (:func:`_gmain3_ok`: on
+    when merged holds on all three stages and the VMEM estimate fits).
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
@@ -711,6 +760,7 @@ def collide_ds(
             "before the weight-folded tables existed must be rebuilt)"
         )
     fhs = f_pre_h = signs = corr1 = corr2 = None
+    fuse3 = False
     gb = 1
     if group_batch is not None and group_batch > 1 and not half:
         raise ValueError(
@@ -736,11 +786,20 @@ def collide_ds(
         # contraction order and presliced once for every kernel launch
         f_main = jax.tree.map(lambda a: a[..., : nzg // 2] * fmask, f_hat)
         fhs = ds._swap_last2(f_main)  # (Nx, Nz/2, Ny)
-        if preslice and jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        if preslice and (on_tpu or gmain_fused):
+            # off-TPU only when the fused g-main path is explicitly forced
+            # (its kernel consumes the presliced layout); interpret-mode
+            # preslice is bit-identical to the kernel (shared extraction)
             f_pre_h = oz.preslice_rows(
-                fhs, cmax=cmax, w=slw, interpret=False,
+                fhs, cmax=cmax, w=slw, interpret=None if not on_tpu else False,
                 merged=mok(pre.pm1[1]),
             )
+        fuse3 = (
+            _gmain3_ok(cfg, pre, cmax, slw)
+            if gmain_fused is None
+            else bool(gmain_fused)
+        ) and mg and f_pre_h is not None
         ckc = _corr_ck(kern, cmax, slw, ftail)
         # stream 1 carries the per-node quadrature weight (host-folded into
         # its z-half matrices and Nyquist coefficients), so the Hadamard
@@ -821,6 +880,7 @@ def collide_ds(
                     cat(take(mxy1[0]), take(mxy2[0])),
                     cat(take(mzh1g), take(mzh2g)),
                     cmax, slw, ftail, merged=mg,
+                    grid_shape=cfg.grid_shape, fused=fuse3,
                 )
                 c = r12.hi.shape[0] // 2
                 r1 = jax.tree.map(lambda a: a[:c], r12)
@@ -1049,6 +1109,7 @@ def make_ds_collision_operator(
     sub_batch: int = 2, contract: Optional[str] = None,
     oz_cmax: Optional[int] = None, g_stream: Optional[str] = None,
     group_batch: Optional[int] = None, oz_merge: Optional[bool] = None,
+    gmain_fused: Optional[bool] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
@@ -1056,14 +1117,16 @@ def make_ds_collision_operator(
     ``collide_fn(f_ds, pre) -> Q_ds`` with ds pairs on both ends.
     ``contract=None`` resolves via :func:`default_contract`; ``oz_cmax``
     is the Ozaki retention level, ``g_stream`` the inverse-stream
-    formulation, ``group_batch`` the radial-group launch batching, and
-    ``oz_merge`` the K-merged contraction toggle (see :func:`collide_ds`).
+    formulation, ``group_batch`` the radial-group launch batching,
+    ``oz_merge`` the K-merged contraction toggle, and ``gmain_fused`` the
+    fused 3-stage main-block kernel toggle (see :func:`collide_ds`).
     """
     pre = build_ds_precomp(cfg, dtype)
     fn = partial(
         collide_ds, cfg, sub_batch=sub_batch,
         contract=contract or default_contract(), oz_cmax=oz_cmax,
         g_stream=g_stream, group_batch=group_batch, oz_merge=oz_merge,
+        gmain_fused=gmain_fused,
     )
 
     def collide_fn(f, precomp):
@@ -1139,6 +1202,7 @@ def make_sharded_ds_collision_operator(
     herm_downstream: Optional[bool] = None,
     group_batch: Optional[int] = None,
     oz_merge: Optional[bool] = None,
+    gmain_fused: Optional[bool] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
 
@@ -1188,7 +1252,7 @@ def make_sharded_ds_collision_operator(
             cfg, p, fi, sub_batch=sub_batch, contract=engine,
             gain_reduce=reducer, oz_cmax=oz_cmax, g_stream=g_stream,
             herm_downstream=herm_downstream, group_batch=group_batch,
-            oz_merge=oz_merge,
+            oz_merge=oz_merge, gmain_fused=gmain_fused,
         )
         if ensemble_axis is not None:
             return jax.vmap(one)(f)

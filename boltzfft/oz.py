@@ -336,26 +336,52 @@ def _k_add_float(hi, lo, p, opq):
 #   v2: chunks sublane-stacked, matrix slices lane-stacked — one (sx*rb, K) @
 #       (K, sm*L) dot per component pair.  K = N = 64 pads to the 128-wide
 #       MXU: ds-oz 64^3 measured 3.77 evals/s.
-#   v3 (current): chunks lane-concatenated, matrix as a block-Toeplitz stack
+#   v3: chunks lane-concatenated, matrix as a block-Toeplitz stack
 #       (see _toeplitz_mats) so each Ozaki level is one column block of a
-#       K = split*N / sx*N dot: 4.24 evals/s, bit-identical to v2.
+#       two-dot (split=4 low / sx high) pass: 4.24 evals/s, bit-identical
+#       to v2.
+#   v4 (current, round 4): staircase level groups — one dot per pair of
+#       levels at the chunk-prefix depth that can reach them
+#       (_level_groups).  31 chunk-level MAC units at cmax=6 vs v3's 37
+#       (the zero Toeplitz blocks shrink), and the kernel fetches ONE chunk
+#       concatenation instead of v3's lo+all pair.  Bit-identical to v2/v3.
 
-#: v3 column split: levels d < _SPLIT need only the first _SPLIT chunk
-#: blocks, so they contract at K = _SPLIT*Nk; levels d >= _SPLIT use all
-#: sx chunk blocks.  4 reproduces v2's FLOP count exactly.
-_SPLIT = 4
+#: Staircase level-group width: levels are grouped in pairs and group g's
+#: dot contracts only the chunk prefix that can reach its levels
+#: (``n = min(d1, sx_eff)``).  At cmax=6/sx=7 this runs 31 chunk-level MAC
+#: units where the old two-dot (lo/hi) split ran 37 and the v2 full tile
+#: ran 56 — the zero Toeplitz blocks shrink with the staircase.  2 balances
+#: MAC waste (half a chunk block per group) against per-dot overhead.
+_GROUP_LEVELS = 2
+
+
+def _level_groups(nlev: int, sx_eff: int):
+    """Staircase partition of the fold levels: ``((d0, d1, n_chunks), ...)``.
+
+    Group ``[d0, d1)`` contracts chunk prefix ``0..n_chunks-1`` — the only
+    chunks that can contribute to levels below ``d1`` (pair (i, j) feeds
+    level ``i + j``, so level d needs ``i <= d``)."""
+    groups = []
+    d0 = 0
+    while d0 < nlev:
+        d1 = min(d0 + _GROUP_LEVELS, nlev)
+        groups.append((d0, d1, min(d1, sx_eff)))
+        d0 = d1
+    return tuple(groups)
 
 
 def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
-    """Block-Toeplitz lane layouts for the v3 kernel dots.
+    """Block-Toeplitz lane layouts for the v3 kernel's staircase dots.
 
-    ``B[i*K:(i+1)*K, d*L:(d+1)*L] = m[d - i]`` (zero block when out of
-    range): a dot of lane-concatenated chunks ``[x_0 .. x_{sx-1}]`` against
-    ``B`` yields every retained level ``d`` as its ``d``-th column block —
-    the same exact pair sums the v2 tile loop assembles, in one MXU pass.
-    Returns ``(sx_eff, split, (blo_re, blo_im), (bhi_re, bhi_im) | None)``;
-    the low dot covers levels ``d < split`` (only chunks ``i < split`` can
-    contribute there), the high dot the rest with all chunks.
+    For each level group ``(d0, d1, n)`` (see :func:`_level_groups`) build
+    ``B[i*K:(i+1)*K, (d-d0)*L:(d-d0+1)*L] = m[d - i]`` (zero block when out
+    of range) over chunks ``i < n``: a dot of the lane-concatenated chunk
+    prefix ``[x_0 .. x_{n-1}]`` against ``B`` yields every retained level
+    ``d`` in ``[d0, d1)`` as a column block — the same exact pair sums the
+    v2 tile loop assembles (products within a level share a power-of-two
+    unit, so any dot partitioning gives bit-identical level values).
+    Returns ``(sx_eff, groups, [(b_re, b_im), ...])`` with one matrix pair
+    per group.
 
     ``m`` may carry leading node axes (``slice_matrix_nodes`` layout,
     ``(..., sm, K, L)``): the Toeplitz assembly then applies per node and the
@@ -365,7 +391,7 @@ def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
     lead = m.re.shape[:-3]
     nlev = cmax + 1
     sx_eff = min(sx, nlev)  # chunks with i > cmax never reach the fold
-    split = min(_SPLIT, nlev, sx_eff)
+    groups = _level_groups(nlev, sx_eff)
 
     def build(comp, n_i, d0, d1):
         zero = jnp.zeros(lead + (k, ell), comp.dtype)
@@ -381,46 +407,41 @@ def _toeplitz_mats(m: CSlicedMatrix, sx: int, cmax: int):
         ]
         return jnp.concatenate(rows, axis=-2)
 
-    blo = (build(m.re, split, 0, split), build(m.im, split, 0, split))
-    bhi = (
-        (build(m.re, sx_eff, split, nlev), build(m.im, sx_eff, split, nlev))
-        if nlev > split
-        else None
-    )
-    return sx_eff, split, blo, bhi
+    mats = [
+        (build(m.re, n, d0, d1), build(m.im, n, d0, d1))
+        for (d0, d1, n) in groups
+    ]
+    return sx_eff, groups, mats
 
 
 class PreslicedCDS(NamedTuple):
     """Lane-concatenated bf16 mantissa chunks of a flattened CDS operand.
 
-    ``lo_*`` holds the first ``split`` chunks (the v3 kernel's low dot
-    operand), ``all_*`` all ``sx`` chunks; both are ``(rows, n*K)`` with the
-    chunk index on lanes.  Produced once per eval by :func:`preslice_rows`
-    for operands that many kernel launches share (the ds pipeline's f_hat:
+    ``all_*`` holds all ``sx`` chunks, ``(rows, sx*K)`` with the chunk index
+    on lanes; the staircase kernel slices the per-group prefixes from it
+    in-register.  Produced once per eval by :func:`preslice_rows` for
+    operands that many kernel launches share (the ds pipeline's f_hat:
     repeat-mode z-axis contractions otherwise re-slice the same spectrum
     in-kernel for every node x group x sub-batch x stream — ~3000 redundant
     row-block slicings per 64^3 eval)."""
 
-    lo_re: jnp.ndarray
     all_re: jnp.ndarray
-    lo_im: jnp.ndarray
     all_im: jnp.ndarray
 
 
 class PreslicedM(NamedTuple):
     """K-MERGED presliced chunks (shared-scale ``[re_i | im_i]`` per chunk
     block — see :func:`_slice_rows_merged`); consumed by the merged kernel
-    mode.  ``lo``: first ``split`` chunk blocks, ``(rows, split*2K)``;
-    ``full``: all ``sx``, ``(rows, sx*2K)``."""
+    mode.  ``full``: all ``sx`` chunk blocks, ``(rows, sx*2K)``."""
 
-    lo: jnp.ndarray
     full: jnp.ndarray
 
 
-def _slice_rows(hi, lo, sig, w, sx, split, opq):
+def _slice_rows(hi, lo, sig, w, sx, opq):
     """The kernel's chunk extraction (see _oz_contract_kernel_v3.slices);
     shared by the in-kernel path, the preslice kernel, and the jnp twin so
-    all three produce bit-identical chunks."""
+    all three produce bit-identical chunks.  Returns the lane-concatenation
+    of all ``sx`` chunks; staircase prefixes are in-register slices of it."""
     out = []
     r_hi, r_lo = hi, lo
     for i in range(sx):
@@ -429,7 +450,7 @@ def _slice_rows(hi, lo, sig, w, sx, split, opq):
         out.append(c.astype(jnp.bfloat16))
         r_hi = opq(r_hi - c)  # exact
         r_hi, r_lo = _k_two_sum(r_hi, r_lo, opq)
-    return jnp.concatenate(out[:split], axis=1), jnp.concatenate(out, axis=1)
+    return jnp.concatenate(out, axis=1)
 
 
 def _chunk_rows(hi, lo, sig, w, sx, opq):
@@ -446,18 +467,18 @@ def _chunk_rows(hi, lo, sig, w, sx, opq):
     return out
 
 
-def _slice_rows_merged(rh, rl, ih, il, sig, w, sx, split, opq):
+def _slice_rows_merged(rh, rl, ih, il, sig, w, sx, opq):
     """Chunk extraction for the K-MERGED complex contraction: both
     components sliced with the SHARED per-row scale ``sig`` and
     lane-concatenated PER CHUNK INDEX — chunk block ``i`` is
     ``[re_i | im_i]`` (2K lanes), matching :func:`_toeplitz_mats_merged`'s
-    K-concatenated matrix rows.  Returns ``(lo, all)`` like _slice_rows."""
+    K-concatenated matrix rows.  Returns the full ``sx``-block
+    concatenation; staircase prefixes are in-register slices of it."""
     cr = _chunk_rows(rh, rl, sig, w, sx, opq)
     ci = _chunk_rows(ih, il, sig, w, sx, opq)
-    cat = lambda n: jnp.concatenate(
-        [jnp.concatenate((cr[i], ci[i]), axis=1) for i in range(n)], axis=1
+    return jnp.concatenate(
+        [jnp.concatenate((cr[i], ci[i]), axis=1) for i in range(sx)], axis=1
     )
-    return cat(split), cat(sx)
 
 
 def merge_ok(k: int, sx: int = DEFAULT_SLICES_X, sm=None,
@@ -493,23 +514,17 @@ def _toeplitz_mats_merged(m: CSlicedMatrix, sx: int, cmax: int):
     return _toeplitz_mats(CSlicedMatrix(re=mre, im=mim), sx, cmax)
 
 
-def _preslice_kernel(
-    xrh, xrl, xih, xil, olo_r, oall_r, olo_i, oall_i, *, w, sx, split
-):
+def _preslice_kernel(xrh, xrl, xih, xil, oall_r, oall_i, *, w, sx):
     opq = lambda v: v  # Mosaic emits EFTs as written
-    olo_r[:], oall_r[:] = _slice_rows(
-        xrh[:], xrl[:], _phase_sigma(xrh[:]), w, sx, split, opq
-    )
-    olo_i[:], oall_i[:] = _slice_rows(
-        xih[:], xil[:], _phase_sigma(xih[:]), w, sx, split, opq
-    )
+    oall_r[:] = _slice_rows(xrh[:], xrl[:], _phase_sigma(xrh[:]), w, sx, opq)
+    oall_i[:] = _slice_rows(xih[:], xil[:], _phase_sigma(xih[:]), w, sx, opq)
 
 
-def _preslice_kernel_merged(xrh, xrl, xih, xil, olo, oall, *, w, sx, split):
+def _preslice_kernel_merged(xrh, xrl, xih, xil, oall, *, w, sx):
     opq = lambda v: v  # Mosaic emits EFTs as written
     sig = jnp.maximum(_phase_sigma(xrh[:]), _phase_sigma(xih[:]))
-    olo[:], oall[:] = _slice_rows_merged(
-        xrh[:], xrl[:], xih[:], xil[:], sig, w, sx, split, opq
+    oall[:] = _slice_rows_merged(
+        xrh[:], xrl[:], xih[:], xil[:], sig, w, sx, opq
     )
 
 
@@ -531,30 +546,23 @@ def preslice_rows(
     k = x.re.hi.shape[-1]
     nlev = cmax + 1
     sx_eff = min(DEFAULT_SLICES_X, nlev)
-    split = min(_SPLIT, nlev, sx_eff)
     flat = lambda a: a.reshape(-1, k).astype(jnp.float32)
     xrh, xrl = flat(x.re.hi), flat(x.re.lo)
     xih, xil = flat(x.im.hi), flat(x.im.lo)
     if interpret:
         if merged:
             sig = jnp.maximum(_phase_sigma(xrh), _phase_sigma(xih))
-            lo, full = _slice_rows_merged(
-                xrh, xrl, xih, xil, sig, w, sx_eff, split, _opaque
+            return PreslicedM(
+                _slice_rows_merged(xrh, xrl, xih, xil, sig, w, sx_eff, _opaque)
             )
-            return PreslicedM(lo, full)
-        lo_r, all_r = _slice_rows(
-            xrh, xrl, _phase_sigma(xrh), w, sx_eff, split, _opaque
+        return PreslicedCDS(
+            _slice_rows(xrh, xrl, _phase_sigma(xrh), w, sx_eff, _opaque),
+            _slice_rows(xih, xil, _phase_sigma(xih), w, sx_eff, _opaque),
         )
-        lo_i, all_i = _slice_rows(
-            xih, xil, _phase_sigma(xih), w, sx_eff, split, _opaque
-        )
-        return PreslicedCDS(lo_r, all_r, lo_i, all_i)
     rows = xrh.shape[0]
     rb = _row_block(rows)
     spec_in = pl.BlockSpec((rb, k), lambda i: (i, 0))
-    widths = (
-        (split * 2, sx_eff * 2) if merged else (split, sx_eff, split, sx_eff)
-    )
+    widths = (sx_eff * 2,) if merged else (sx_eff, sx_eff)
     outs = [
         jax.ShapeDtypeStruct((rows, n * k), jnp.bfloat16) for n in widths
     ]
@@ -562,9 +570,9 @@ def preslice_rows(
         pl.BlockSpec((rb, n * k), lambda i: (i, 0)) for n in widths
     ]
     kern = (
-        partial(_preslice_kernel_merged, w=w, sx=sx_eff, split=split)
+        partial(_preslice_kernel_merged, w=w, sx=sx_eff)
         if merged
-        else partial(_preslice_kernel, w=w, sx=sx_eff, split=split)
+        else partial(_preslice_kernel, w=w, sx=sx_eff)
     )
     res = pl.pallas_call(
         kern,
@@ -578,13 +586,20 @@ def preslice_rows(
 
 
 def _oz_contract_kernel_v3(
-    *refs, w, sx, split, ell, nlev, sm, pin, real_in=False, real_out=False,
-    phase=False, conj=False, has_hi=True, node_mats=False, fold_tail=None,
+    *refs, w, sx, groups, ell, nlev, sm, pin, real_in=False, real_out=False,
+    phase=False, conj=False, node_mats=False, fold_tail=None,
     presliced=False, merged=False,
 ):
-    """v3 layout: chunks lane-concatenated, block-Toeplitz matrix (see
-    the layout-history note above).  Same slice extraction, same exact level
-    values, same compensated fold order as v2 — bit-identical outputs.
+    """v3 layout: chunks lane-concatenated, block-Toeplitz staircase dots
+    (see :func:`_level_groups`/:func:`_toeplitz_mats`).  Same slice
+    extraction, same exact level values, same compensated fold order as
+    v2 — bit-identical outputs; only the dot partitioning (and hence the
+    zero-block MAC waste) differs.
+
+    ``groups`` is the static staircase ``((d0, d1, n_chunks), ...)``; the
+    matrix refs arrive as one Toeplitz stack per (level group x component).
+    Chunk prefixes are in-register lane slices of the full concatenation
+    (offset 0, so no relayout is required).
 
     ``merged=True`` (K-merged complex contraction, gated by
     :func:`merge_ok`): chunks arrive/are extracted in the
@@ -593,75 +608,65 @@ def _oz_contract_kernel_v3(
     yields a full complex combination in one exact f32 accumulation — the
     compensated fold runs 2 level lists instead of 4 (the fold is the
     kernel's VPU bound; measured in docs/PERFORMANCE.md round 4)."""
+    n_groups = len(groups)
+    mat = (lambda r: r[0]) if node_mats else (lambda r: r[:])
     if merged:
         # real_out passes ONLY the re-output stacks (the im stacks would be
         # fetched into VMEM per grid step just to be ignored)
-        n_mats = (2 if has_hi else 1) * (1 if real_out else 2)
+        n_mats = n_groups * (1 if real_out else 2)
         if presliced:
-            (clo_ref, call_ref) = refs[:2]
-            mats = refs[2:2 + n_mats]
-            outs = refs[2 + n_mats:]
+            (call_ref,) = refs[:1]
+            mats = refs[1:1 + n_mats]
+            outs = refs[1 + n_mats:]
         else:
             (xrh_ref, xrl_ref, xih_ref, xil_ref) = refs[:4]
             mats = refs[4:4 + n_mats]
             outs = refs[4 + n_mats:]
-        blo_im_ref = bhi_re_ref = bhi_im_ref = None
+        # mats order: [g0_re, g1_re, ...] then [g0_im, ...] when complex out
+        mre = mats[:n_groups]
+        mim = None if real_out else mats[n_groups:]
         if real_out:
-            blo_re_ref = mats[0]
-            if has_hi:
-                bhi_re_ref = mats[1]
             orh_ref, orl_ref = outs
             oih_ref = oil_ref = None
         else:
-            if has_hi:
-                blo_re_ref, blo_im_ref, bhi_re_ref, bhi_im_ref = mats
-            else:
-                blo_re_ref, blo_im_ref = mats
             orh_ref, orl_ref, oih_ref, oil_ref = outs
-        rb = (clo_ref if presliced else xrh_ref).shape[0]
+        rb = (call_ref if presliced else xrh_ref).shape[0]
         opq = _opaque if pin else (lambda v: v)
         if presliced:
-            cm = (clo_ref[:], call_ref[:])
+            c_full = call_ref[:]
+            blk = c_full.shape[1] // sx
+            prefix = lambda n: c_full[:, : n * blk]
         else:
             sig = jnp.maximum(
                 _phase_sigma(xrh_ref[:]), _phase_sigma(xih_ref[:])
             )
-            cm = _slice_rows_merged(
-                xrh_ref[:], xrl_ref[:], xih_ref[:], xil_ref[:],
-                sig, w, sx, split, opq,
+            prefix = _merged_prefix_planes(
+                xrh_ref[:], xrl_ref[:], xih_ref[:], xil_ref[:], w, sx, opq
             )
         reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
-        groups = [(cm, blo_re_ref, bhi_re_ref, 1.0, "re")]
+        out_groups = [(mre, 1.0, "re")]
         if not real_out:
-            groups.append((cm, blo_im_ref, bhi_im_ref, 1.0, "im"))
+            out_groups.append((mim, 1.0, "im"))
         n_fold = min(nlev, sx + sm - 1)
         ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
-        mat = (lambda r: r[0]) if node_mats else (lambda r: r[:])
-        for chunks, b_lo, b_hi, sgn, which in groups:
-            c_lo, c_all = chunks
-            p_lo = jnp.dot(
-                c_lo, mat(b_lo), preferred_element_type=jnp.float32
-            )
-            p_hi = (
-                jnp.dot(c_all, mat(b_hi), preferred_element_type=jnp.float32)
-                if b_hi is not None
-                else None
-            )
+        for mats_g, sgn, which in out_groups:
             tail = None
-            for d in range(n_fold):
-                if d < split:
-                    acc = p_lo[:, d * ell:(d + 1) * ell]
-                elif p_hi is not None:
-                    acc = p_hi[:, (d - split) * ell:(d - split + 1) * ell]
-                else:
-                    continue
-                if d >= ft:
-                    tail = acc if tail is None else opq(tail + acc)
-                    continue
-                if which == "re":
-                    reh, rel = _k_add_float(reh, rel, acc, opq)
-                else:
-                    imh, iml = _k_add_float(imh, iml, acc, opq)
+            for gi, (d0, d1, n) in enumerate(groups):
+                if d0 >= n_fold:
+                    break
+                p = jnp.dot(
+                    prefix(n), mat(mats_g[gi]),
+                    preferred_element_type=jnp.float32,
+                )
+                for d in range(d0, min(d1, n_fold)):
+                    acc = p[:, (d - d0) * ell:(d - d0 + 1) * ell]
+                    if d >= ft:
+                        tail = acc if tail is None else opq(tail + acc)
+                        continue
+                    if which == "re":
+                        reh, rel = _k_add_float(reh, rel, acc, opq)
+                    else:
+                        imh, iml = _k_add_float(imh, iml, acc, opq)
             if tail is not None:
                 if which == "re":
                     reh, rel = _k_add_float(reh, rel, tail, opq)
@@ -673,15 +678,15 @@ def _oz_contract_kernel_v3(
             oih_ref[:] = imh
             oil_ref[:] = iml
         return
-    n_mats = (2 if has_hi else 1) * 2
+    n_mats = 2 * n_groups
     if presliced:
         # chunk operands arrive pre-extracted (preslice_rows): no slicing,
         # no sigma — the kernel is dots + fold only
-        (crlo_ref, crall_ref, cilo_ref, ciall_ref) = refs[:4]
-        mats = refs[4:4 + n_mats]
-        outs = refs[4 + n_mats:]
+        (crall_ref, ciall_ref) = refs[:2]
+        mats = refs[2:2 + n_mats]
+        outs = refs[2 + n_mats:]
         sr_ref = si_ref = None
-        xrh_ref = crlo_ref  # rb source below
+        xrh_ref = crall_ref  # rb source below
     elif node_mats:
         # per-node-matrix mode: slicing scales computed in-kernel (an extra
         # HBM pass to precompute them costs more than the VPU row-max here)
@@ -707,11 +712,8 @@ def _oz_contract_kernel_v3(
         mats = refs[4:4 + n_mats]
         outs = refs[4 + n_mats:]
         sr_ref = si_ref = None
-    if has_hi:
-        blo_re_ref, blo_im_ref, bhi_re_ref, bhi_im_ref = mats
-    else:
-        blo_re_ref, blo_im_ref = mats
-        bhi_re_ref = bhi_im_ref = None
+    # mats order: [g0_re, g1_re, ...] then [g0_im, g1_im, ...]
+    mre, mim = mats[:n_groups], mats[n_groups:]
     if real_out:
         # the imaginary output planes are never computed — don't declare
         # (or write) them: at 64^3 the zero-writes alone are ~8 MB/launch
@@ -722,17 +724,25 @@ def _oz_contract_kernel_v3(
     rb = xrh_ref.shape[0]
     opq = _opaque if pin else (lambda v: v)
 
-    # low levels contract against chunks i < split only (shared extraction:
-    # _slice_rows — also the preslice kernel, so presliced mode is
-    # bit-identical)
-    slices = lambda hi, lo, sig: _slice_rows(hi, lo, sig, w, sx, split, opq)
+    # chunk prefixes: group g contracts chunks i < n_g only (shared
+    # extraction _chunk_rows — also the preslice kernel, so presliced mode
+    # is bit-identical).  The full lane concatenation is built once; group
+    # prefixes are offset-0 slices (no per-group re-concatenation).
+    def prefix_fn(chunk_list):
+        full = jnp.concatenate(chunk_list, axis=1)
+        blk = full.shape[1] // sx
+        return lambda n: full[:, : n * blk]
+
+    clist = lambda hi, lo, sig: _chunk_rows(hi, lo, sig, w, sx, opq)
 
     if presliced:
-        cr = (crlo_ref[:], crall_ref[:])
-        ci = (cilo_ref[:], ciall_ref[:])
+        c_r, c_i = crall_ref[:], ciall_ref[:]
+        blk = c_r.shape[1] // sx
+        cr = lambda n: c_r[:, : n * blk]
+        ci = lambda n: c_i[:, : n * blk]
     elif node_mats:
-        cr = slices(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:]))
-        ci = slices(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:]))
+        cr = prefix_fn(clist(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:])))
+        ci = prefix_fn(clist(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:])))
     elif phase:
         ph = (
             (prh_ref[0:1, :], prl_ref[0:1, :]),
@@ -741,67 +751,52 @@ def _oz_contract_kernel_v3(
         tre, tim = _k_phase_cmul(
             (xrh_ref[:], xrl_ref[:]), (xih_ref[:], xil_ref[:]), ph, conj, opq
         )
-        cr = slices(tre[0], tre[1], _phase_sigma(tre[0]))
-        ci = slices(tim[0], tim[1], _phase_sigma(tim[0]))
+        cr = prefix_fn(clist(tre[0], tre[1], _phase_sigma(tre[0])))
+        ci = prefix_fn(clist(tim[0], tim[1], _phase_sigma(tim[0])))
     else:
-        cr = slices(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:]))
+        cr = prefix_fn(clist(xrh_ref[:], xrl_ref[:], _phase_sigma(xrh_ref[:])))
         ci = (
             None
             if real_in
-            else slices(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:]))
+            else prefix_fn(
+                clist(xih_ref[:], xil_ref[:], _phase_sigma(xih_ref[:]))
+            )
         )
-
-    def level_tiles(chunks, b_lo_ref, b_hi_ref):
-        c_lo, c_all = chunks
-        # node_mats: per-node matrix blocks arrive with a leading 1 axis
-        # (block-indexed by the node this row block belongs to)
-        mat = (lambda r: r[0]) if node_mats else (lambda r: r[:])
-        p_lo = jnp.dot(c_lo, mat(b_lo_ref), preferred_element_type=jnp.float32)
-        p_hi = (
-            jnp.dot(c_all, mat(b_hi_ref), preferred_element_type=jnp.float32)
-            if b_hi_ref is not None
-            else None
-        )
-
-        def tile(d):
-            if d < split:
-                return p_lo[:, d * ell:(d + 1) * ell]
-            if p_hi is None:
-                return None
-            return p_hi[:, (d - split) * ell:(d - split + 1) * ell]
-
-        return tile
 
     reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
-    groups = [(cr, blo_re_ref, bhi_re_ref, 1.0, "re")]
+    comb = [(cr, mre, 1.0, "re")]
     if not real_in:
-        groups.append((ci, blo_im_ref, bhi_im_ref, -1.0, "re"))
+        comb.append((ci, mim, -1.0, "re"))
     if not real_out:
-        groups.append((cr, blo_im_ref, bhi_im_ref, 1.0, "im"))
+        comb.append((cr, mim, 1.0, "im"))
         if not real_in:
-            groups.append((ci, blo_re_ref, bhi_re_ref, 1.0, "im"))
+            comb.append((ci, mre, 1.0, "im"))
     n_fold = min(nlev, sx + sm - 1)  # levels past sx+sm-2 have no pairs
     # Levels >= fold_tail are pre-summed in plain f32 before ONE compensated
     # fold: level d is ~2^-wd of level 0, so the pre-sum rounding is bounded
     # by ~2^{-24-w*fold_tail} of the level-0 scale — below the ds noise floor
     # (2^-49) whenever w*fold_tail >= 32.  None = all-ds (exact capture).
     ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
-    for chunks, b_lo, b_hi, sgn, which in groups:
-        tile = level_tiles(chunks, b_lo, b_hi)
+    for chunks, mats_g, sgn, which in comb:
         tail = None
-        for d in range(n_fold):
-            acc = tile(d)
-            if acc is None:
-                continue
-            if d >= ft:
-                tail = acc if tail is None else opq(tail + acc)
-                continue
-            if sgn < 0:
-                acc = -acc
-            if which == "re":
-                reh, rel = _k_add_float(reh, rel, acc, opq)
-            else:
-                imh, iml = _k_add_float(imh, iml, acc, opq)
+        for gi, (d0, d1, n) in enumerate(groups):
+            if d0 >= n_fold:
+                break
+            p = jnp.dot(
+                chunks(n), mat(mats_g[gi]),
+                preferred_element_type=jnp.float32,
+            )
+            for d in range(d0, min(d1, n_fold)):
+                acc = p[:, (d - d0) * ell:(d - d0 + 1) * ell]
+                if d >= ft:
+                    tail = acc if tail is None else opq(tail + acc)
+                    continue
+                if sgn < 0:
+                    acc = -acc
+                if which == "re":
+                    reh, rel = _k_add_float(reh, rel, acc, opq)
+                else:
+                    imh, iml = _k_add_float(imh, iml, acc, opq)
         if tail is not None:
             if sgn < 0:
                 tail = -tail
@@ -1072,13 +1067,13 @@ def contract_last_oz_kernel(
     else:
         in_specs = [row_spec(k)] * 4
         operands = [xrh, xrl, xih, xil]
-    sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
-    mats = list(blo) + (list(bhi) if bhi is not None else [])
+    sx_eff, lgroups, gmats = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
+    mats = [p[0] for p in gmats] + [p[1] for p in gmats]
     kern = partial(
         _oz_contract_kernel_v3,
-        w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
+        w=w, sx=sx_eff, groups=lgroups, ell=ell, nlev=cmax + 1, sm=sm,
         pin=interpret, real_in=real_in, real_out=real_out,
-        has_hi=bhi is not None, fold_tail=fold_tail,
+        fold_tail=fold_tail,
     )
     mat_specs = [
         pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats
@@ -1149,12 +1144,12 @@ def _phased_contract(
         x_spec = pl.BlockSpec((rb, k), lambda i: (i, 0))
     p_spec = pl.BlockSpec((8, k), lambda i, _b=bpn_out: (i // _b, 0))
     out_spec = pl.BlockSpec((rb, ell), lambda i: (i, 0))
-    sx_eff, split, blo, bhi = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
-    mats = list(blo) + (list(bhi) if bhi is not None else [])
+    sx_eff, lgroups, gmats = _toeplitz_mats(m, DEFAULT_SLICES_X, cmax)
+    mats = [p[0] for p in gmats] + [p[1] for p in gmats]
     kern = partial(
         _oz_contract_kernel_v3,
-        w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
-        pin=False, phase=True, conj=conj, has_hi=bhi is not None,
+        w=w, sx=sx_eff, groups=lgroups, ell=ell, nlev=cmax + 1, sm=sm,
+        pin=False, phase=True, conj=conj,
         fold_tail=fold_tail,
     )
     mat_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0)) for a in mats]
@@ -1285,13 +1280,13 @@ def contract_last_oz_nodemat(
     else:
         x_idx = lambda i: (i, 0)
     tmats = _toeplitz_mats_merged if merged else _toeplitz_mats
-    sx_eff, split, blo, bhi = tmats(m, DEFAULT_SLICES_X, cmax)
+    sx_eff, lgroups, gmats = tmats(m, DEFAULT_SLICES_X, cmax)
     if merged and real_out:
         # the kernel's merged real_out mode never touches the im-output
         # stacks — don't fetch them into VMEM per grid step
-        mats = [blo[0]] + ([bhi[0]] if bhi is not None else [])
+        mats = [p[0] for p in gmats]
     else:
-        mats = list(blo) + (list(bhi) if bhi is not None else [])
+        mats = [p[0] for p in gmats] + [p[1] for p in gmats]
     mat_specs = [
         pl.BlockSpec((1,) + a.shape[1:], lambda i, _b=bpn: (i // _b, 0, 0))
         for a in mats
@@ -1299,8 +1294,8 @@ def contract_last_oz_nodemat(
     out_spec = pl.BlockSpec((rb, ell), lambda i: (i, 0))
     kern = partial(
         _oz_contract_kernel_v3,
-        w=w, sx=sx_eff, split=split, ell=ell, nlev=cmax + 1, sm=sm,
-        pin=False, has_hi=bhi is not None, node_mats=True,
+        w=w, sx=sx_eff, groups=lgroups, ell=ell, nlev=cmax + 1, sm=sm,
+        pin=False, node_mats=True,
         real_out=real_out, fold_tail=fold_tail, presliced=x_pre is not None,
         merged=merged,
     )
@@ -1313,11 +1308,11 @@ def contract_last_oz_nodemat(
                 "merged kernel mode needs the merged preslice layout "
                 "(preslice_rows(..., merged=True))"
             )
-            x_args = (x_pre.lo, x_pre.full)
-            widths = (split * 2, sx_eff * 2)
+            x_args = (x_pre.full,)
+            widths = (sx_eff * 2,)
         else:
-            x_args = (x_pre.lo_re, x_pre.all_re, x_pre.lo_im, x_pre.all_im)
-            widths = (split, sx_eff, split, sx_eff)
+            x_args = (x_pre.all_re, x_pre.all_im)
+            widths = (sx_eff, sx_eff)
         x_specs = [pl.BlockSpec((rb, n * k), x_idx) for n in widths]
     else:
         x_args = (xrh, xrl, xih, xil)
@@ -1338,6 +1333,186 @@ def contract_last_oz_nodemat(
         planes += [z, z]
     reh, rel, imh, iml = planes
     return CDS(DS(reh, rel), DS(imh, iml))
+
+
+# --------------------------------------------------------------------------
+# fused g-main megakernel (round 4): the half-spectrum main block's THREE
+# per-node contractions (y, x, half-z) in ONE kernel per node — the
+# intermediates never leave VMEM.  Staged, each stage boundary costs a ds
+# write + an XLA transpose pass + a ds read (~8 MB of HBM per node-stream at
+# 64^3; measured ~78 ms of the 131 ms 64^3 eval is cmax-INDEPENDENT, i.e.
+# boundary/glue cost — benchmarks/probe_knobs.py fit, docs/PERFORMANCE.md).
+# In-kernel the boundaries are a 3-D register transpose (Mosaic lowers
+# (2,1,0)/(2,0,1) permutes of (64,32,64)-class f32 arrays — compile-probed)
+# + the same chunk re-extraction the staged stage-2/3 kernels run.  Values
+# and fold order are IDENTICAL to the staged path, so results are
+# bit-identical to the staged merged kernels.
+# --------------------------------------------------------------------------
+
+
+def _merged_prefix_planes(rh, rl, ih, il, w, sx, opq):
+    """Merged-layout chunk prefix function from four f32 planes (the
+    in-kernel twin of :func:`_slice_rows_merged`, shared scale).  The full
+    concatenation is built ONCE; group prefixes are offset-0 lane slices of
+    it (no per-group re-concatenation, chunk buffers die early)."""
+    sig = jnp.maximum(_phase_sigma(rh), _phase_sigma(ih))
+    cr = _chunk_rows(rh, rl, sig, w, sx, opq)
+    ci = _chunk_rows(ih, il, sig, w, sx, opq)
+    full = jnp.concatenate(
+        [jnp.concatenate((cr[i], ci[i]), axis=1) for i in range(sx)], axis=1
+    )
+    blk = full.shape[1] // sx
+    return lambda n: full[:, : n * blk]
+
+
+def _merged_staircase(prefix, mre, mim, groups, ell, n_fold, ft, rb, opq, mat):
+    """The merged staircase dots + compensated fold (exact level sums; the
+    same loop the contraction kernel runs — see _oz_contract_kernel_v3's
+    merged branch).  ``mim=None`` computes the real output only."""
+    reh = rel = imh = iml = jnp.zeros((rb, ell), jnp.float32)
+    out_groups = [(mre, "re")]
+    if mim is not None:
+        out_groups.append((mim, "im"))
+    for mats_g, which in out_groups:
+        tail = None
+        for gi, (d0, d1, n) in enumerate(groups):
+            if d0 >= n_fold:
+                break
+            p = jnp.dot(
+                prefix(n), mat(mats_g[gi]),
+                preferred_element_type=jnp.float32,
+            )
+            for d in range(d0, min(d1, n_fold)):
+                acc = p[:, (d - d0) * ell:(d - d0 + 1) * ell]
+                if d >= ft:
+                    tail = acc if tail is None else opq(tail + acc)
+                    continue
+                if which == "re":
+                    reh, rel = _k_add_float(reh, rel, acc, opq)
+                else:
+                    imh, iml = _k_add_float(imh, iml, acc, opq)
+        if tail is not None:
+            if which == "re":
+                reh, rel = _k_add_float(reh, rel, tail, opq)
+            else:
+                imh, iml = _k_add_float(imh, iml, tail, opq)
+    return reh, rel, imh, iml
+
+
+def _gmain3_kernel(
+    call_ref, *rest, w, sx, groups, dims, nlev, sm, fold_tail, pin=False,
+):
+    """One node's whole half-spectrum main block: y, x, half-z contractions
+    with in-register transposes and re-slicing between them (merged mode).
+
+    ``dims = (nx, nzh, ny, nz)``; the shared spectrum arrives presliced in
+    the merged layout as ``(nx*nzh, sx*2*ny)`` (constant block — fetched
+    once, resident across nodes); per-node Toeplitz stacks arrive with a
+    leading 1 axis.  Output: the real main block's ds planes
+    ``(nx*ny, nz)``."""
+    nx, nzh, ny, nz = dims
+    # Mosaic emits EFTs as written; interpret mode (XLA:CPU) needs pinning
+    opq = _opaque if pin else (lambda v: v)
+    ngr = len(groups)
+    my = rest[: 2 * ngr]
+    mx = rest[2 * ngr : 4 * ngr]
+    mz = rest[4 * ngr : 5 * ngr]
+    orh_ref, orl_ref = rest[5 * ngr : 5 * ngr + 2]
+    mat = lambda r: r[0]
+    n_fold = min(nlev, sx + sm - 1)
+    ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
+
+    # stage 1 (y): shared presliced chunks, rows (nx, nzh), K = ny
+    c_full = call_ref[:]
+    blk = c_full.shape[1] // sx
+    pre1 = lambda n: c_full[:, : n * blk]
+    t = _merged_staircase(
+        pre1, my[:ngr], my[ngr:], groups, ny, n_fold, ft, nx * nzh, opq, mat
+    )
+    # (nx, nzh, ny) -> (ny, nzh, nx): rows (ny, nzh), K = nx
+    t = [jnp.transpose(a.reshape(nx, nzh, ny), (2, 1, 0)).reshape(
+        ny * nzh, nx) for a in t]
+
+    # stage 2 (x)
+    pre2 = _merged_prefix_planes(t[0], t[1], t[2], t[3], w, sx, opq)
+    t = _merged_staircase(
+        pre2, mx[:ngr], mx[ngr:], groups, nx, n_fold, ft, ny * nzh, opq, mat
+    )
+    # (ny, nzh, nx) -> (nx, ny, nzh): rows (nx, ny), K = nzh
+    t = [jnp.transpose(a.reshape(ny, nzh, nx), (2, 0, 1)).reshape(
+        nx * ny, nzh) for a in t]
+
+    # stage 3 (half-z, real output)
+    pre3 = _merged_prefix_planes(t[0], t[1], t[2], t[3], w, sx, opq)
+    reh, rel, _imh, _iml = _merged_staircase(
+        pre3, mz, None, groups, nz, n_fold, ft, nx * ny, opq, mat
+    )
+    orh_ref[:] = reh
+    orl_ref[:] = rel
+
+
+def gmain3_nodemat(
+    x_pre: "PreslicedM",
+    m_y: CSlicedMatrix,
+    m_x: CSlicedMatrix,
+    m_zh: CSlicedMatrix,
+    grid_shape,
+    cmax: int = DEFAULT_CMAX,
+    w: int = DEFAULT_W,
+    fold_tail: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> DS:
+    """Fused per-node main-block evaluation (merged layout; TPU target,
+    interpret-mode twin off-TPU for the correctness suite).
+
+    ``x_pre`` is the merged preslice of the masked half-z spectrum in the
+    ``(Nx, Nz/2, Ny)`` layout (``preslice_rows(..., merged=True)``); the
+    matrices are ``slice_matrix_nodes`` tables ``(C, sm, K_axis, L_axis)``.
+    Returns the real main block as a ``(C, Nx, Ny, Nz)`` DS — bit-identical
+    to the staged ``contract_last_oz_nodemat`` chain (same chunk values,
+    same dots, same fold order; the stage boundaries become in-register
+    transposes of the same f32 planes)."""
+    nx, ny, nz = grid_shape
+    nzh = nz // 2
+    c = m_y.re.shape[0]
+    for mm, k in ((m_y, ny), (m_x, nx), (m_zh, nzh)):
+        if not merge_ok(k, sm=mm.re.shape[-3], cmax=cmax, w=w):
+            raise ValueError("gmain3 needs merge_ok on every stage")
+    sx_eff = min(DEFAULT_SLICES_X, cmax + 1)
+    lgroups = _level_groups(cmax + 1, sx_eff)
+    ngr = len(lgroups)
+
+    def stacks(m, real_out=False):
+        _sx, _g, gm = _toeplitz_mats_merged(m, DEFAULT_SLICES_X, cmax)
+        if real_out:
+            return [p[0] for p in gm]
+        return [p[0] for p in gm] + [p[1] for p in gm]
+
+    mats = stacks(m_y) + stacks(m_x) + stacks(m_zh, real_out=True)
+    mat_specs = [
+        pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0)) for a in mats
+    ]
+    x_spec = pl.BlockSpec(x_pre.full.shape, lambda i: (0, 0))
+    out_spec = pl.BlockSpec((nx * ny, nz), lambda i: (i, 0))
+    sm = m_y.re.shape[-3]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kern = partial(
+        _gmain3_kernel,
+        w=w, sx=sx_eff, groups=lgroups, dims=(nx, nzh, ny, nz),
+        nlev=cmax + 1, sm=sm, fold_tail=fold_tail, pin=interpret,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(c,),
+        in_specs=[x_spec] + mat_specs,
+        out_specs=[out_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((c * nx * ny, nz), jnp.float32)
+        ] * 2,
+        interpret=interpret,
+    )(x_pre.full, *mats)
+    return DS(*(a.reshape(c, nx, ny, nz) for a in out))
 
 
 def transform3_oz_nodemat(

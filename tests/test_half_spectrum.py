@@ -436,3 +436,50 @@ class TestMergedContraction:
             oz.contract_last_oz_nodemat(
                 x, m, repeat=True, interpret=True, merged=True
             )
+
+
+class TestGmainFused:
+    """Fused 3-stage g-main megakernel (oz.gmain3_nodemat): one kernel per
+    node runs the y, x, and half-z contractions with in-register transposes
+    — BIT-identical to the staged merged chain (same chunk extraction, same
+    staircase dots, same compensated fold order; only the stage boundaries
+    — ds writes + XLA transposes + ds reads — disappear)."""
+
+    def test_gmain_fused_bitwise_matches_staged(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=13))
+        q_s = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                         gmain_fused=False)
+        q_f = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                         gmain_fused=True)
+        assert np.array_equal(np.asarray(q_s.hi), np.asarray(q_f.hi))
+        assert np.array_equal(np.asarray(q_s.lo), np.asarray(q_f.lo))
+
+    def test_gmain_fused_anisotropic(self):
+        # distinct per-axis extents exercise all three in-kernel transposes
+        cfg = bz.CollisionConfig(nv=6, nvy=8, nvz=10, ns=6, n_radial=4,
+                                 impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=14))
+        q_s = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                         gmain_fused=False)
+        q_f = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                         gmain_fused=True)
+        assert np.array_equal(np.asarray(q_s.hi), np.asarray(q_f.hi))
+        assert np.array_equal(np.asarray(q_s.lo), np.asarray(q_f.lo))
+
+    def test_gmain_fused_requires_merge_ok(self):
+        # forcing the fused path past the merged exactness bound must fail
+        # loudly, not silently produce inexact level dots
+        from boltzfft import oz
+
+        assert not oz.merge_ok(128)
+        rng = np.random.default_rng(7)
+        m64 = rng.standard_normal((1, 128, 8)) + 1j * rng.standard_normal(
+            (1, 128, 8)
+        )
+        m = oz.slice_matrix_nodes(m64)
+        with pytest.raises(ValueError, match="merge"):
+            oz.gmain3_nodemat(None, m, m, m, (8, 128, 16), interpret=True)

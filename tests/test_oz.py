@@ -40,25 +40,23 @@ class TestSlicing:
 
     def test_preslice_rows_layout_and_reconstruction(self, rng):
         # preslice_rows = the kernel's in-kernel extraction hoisted out; the
-        # lo operand must be a lane-prefix of all, and the chunk columns must
-        # reconstruct the ds value to the 2^-49 residual bound
+        # staircase kernel slices per-group lane prefixes of it, and the
+        # chunk columns must reconstruct the ds value to the 2^-49 residual
         k, cmax = 32, 6
         a64 = rng.standard_normal((16, k)) * 10.0 ** rng.uniform(-8, 5, (16, 1))
         b64 = rng.standard_normal((16, k)) * 10.0 ** rng.uniform(-8, 5, (16, 1))
         x = ds.CDS(ds.from_f64(a64), ds.from_f64(b64))
         ps = oz.preslice_rows(x, cmax=cmax, interpret=True)
         sx_eff = min(oz.DEFAULT_SLICES_X, cmax + 1)
-        split = min(oz._SPLIT, cmax + 1, sx_eff)
         assert ps.all_re.shape == (16, sx_eff * k)
-        assert ps.lo_re.shape == (16, split * k)
         assert ps.all_re.dtype == jnp.bfloat16
-        # lo is bitwise the lane-prefix of all
-        assert np.array_equal(
-            np.asarray(ps.lo_re), np.asarray(ps.all_re[:, : split * k])
+        # staircase groups cover every retained level exactly once, with
+        # chunk prefixes that can reach them
+        lg = oz._level_groups(cmax + 1, sx_eff)
+        assert [d for (d0, d1, _n) in lg for d in range(d0, d1)] == list(
+            range(cmax + 1)
         )
-        assert np.array_equal(
-            np.asarray(ps.lo_im), np.asarray(ps.all_im[:, : split * k])
-        )
+        assert all(n == min(d1, sx_eff) for (_d0, d1, n) in lg)
         for comp, chunks in ((a64, ps.all_re), (b64, ps.all_im)):
             rec = np.zeros_like(comp)
             for i in range(sx_eff):
