@@ -37,9 +37,17 @@ CONFIGS = {
     "cmax4": {"oz_cmax": 4},
     "cmax3": {"oz_cmax": 3},
     "cmax2": {"oz_cmax": 2},
-    "gm3": {"gmain_fused": True},
+    "gm3": {"gmain_fused": "3"},
+    "gm12": {"gmain_fused": "12"},
     "gm3off": {"gmain_fused": False},
     "gm3gb2": {"gmain_fused": True, "group_batch": 2},
+    # rev: even-symmetry stream reuse — valid ONLY for centrally-symmetric
+    # f (the BKW bench state is); see collide_ds g1_reversal
+    "rev": {"g1_reversal": True},
+    "revst": {"g1_reversal": True, "gmain_fused": False},
+    "revgb2": {"g1_reversal": True, "gmain_fused": False, "group_batch": 2},
+    "sb4": {"sub_batch": 4},
+    "sb4gm3": {"sub_batch": 4, "gmain_fused": "3"},
 }
 
 

@@ -438,13 +438,14 @@ def _g_main_half(
     per stage where :func:`boltzfft.oz.merge_ok` holds; ``x_pre`` must then
     carry the merged preslice layout (the caller uses the same gate).
 
-    ``fused`` runs all three contractions in ONE kernel per node
-    (:func:`boltzfft.oz.gmain3_nodemat`): the stage intermediates never
-    leave VMEM (the staged boundaries — ds write + XLA transpose + ds read
-    — are the bulk of the eval's cmax-independent cost; see
-    docs/PERFORMANCE.md round 4).  Bit-identical to the staged merged
-    kernels; the caller gates it by :func:`_gmain3_ok`."""
-    if fused:
+    ``fused`` runs stage contractions in one kernel per node so the
+    intermediates never leave VMEM: ``"3"`` fuses all three
+    (:func:`boltzfft.oz.gmain3_nodemat`, whole-node live set — fits ~40^3
+    and below), ``"12"`` fuses y+x z-half-blocked
+    (:func:`boltzfft.oz.gmain12_nodemat`, bounded live set — any size) with
+    the half-z stage staged.  Both are bit-identical to the staged merged
+    kernels; the caller gates the mode by :func:`_gmain_mode`."""
+    if fused == "3":
         return oz.gmain3_nodemat(
             x_pre, m_y, m_x, m_zh, grid_shape, cmax=cmax, w=w,
             fold_tail=ftail,
@@ -456,6 +457,11 @@ def _g_main_half(
     mok = lambda mm: merged and oz.merge_ok(
         mm.re.shape[-2], sm=mm.re.shape[-3], cmax=cmax, w=w
     )
+    if fused == "12":
+        t = oz.gmain12_nodemat(
+            x_pre, m_y, m_x, grid_shape, cmax=cmax, w=w, fold_tail=ftail,
+        )
+        return ck(t, m_zh, real_out=True, merged=mok(m_zh)).re
     t = ck(fhs, m_y, repeat=True, x_pre=x_pre, merged=mok(m_y))
     t = jax.tree.map(lambda a: a.transpose(0, 3, 2, 1), t)  # (C, Ny, Nzh, Nx)
     t = ck(t, m_x, merged=mok(m_x))
@@ -463,30 +469,68 @@ def _g_main_half(
     return ck(t, m_zh, real_out=True, merged=mok(m_zh)).re  # (C,Nx,Ny,Nz)
 
 
-def _gmain3_ok(cfg: CollisionConfig, pre: DsPrecomp, cmax: int, w: int) -> bool:
-    """Auto gate for the fused 3-stage g-main kernel: TPU, merged exactness
-    on all three stages, and a VMEM estimate under the 16 MB scoped budget
-    (resident shared chunks + double-buffered per-node stacks + the largest
-    two live intermediates + chunk slabs)."""
-    if jax.default_backend() != "tpu":
-        return False
+def _rev_v(a):
+    """Physical velocity reversal ``v -> -v`` on the last three axes.
+
+    The grid is CELL-centered (``v_j = -L + dv*(j + 1/2)``, grid.py), so
+    ``v_j + v_{N-1-j} = 0`` and the reversal is the pure index flip
+    ``j -> N-1-j`` — NOT the DFT-index map ``j -> (N-j) mod N`` (that one
+    is the reversal of a node-centered grid; using it here leaves an O(1)
+    defect on physically-even states, measured rel ~4 on a raw BKW input
+    before this was fixed)."""
+    return jnp.flip(a, (-3, -2, -1))
+
+
+def _g1_from_g2(r2: DS, w: DS) -> DS:
+    """Stream-1 weighted main block from stream 2's: ``g1(v) = g2(-v)``,
+    exact ONLY for centrally-symmetric f (``f(v) = f(-v)``; see the
+    ``g1_reversal`` note in :func:`collide_ds` — this is an opt-in
+    symmetry optimization, not a general identity).  Folds the per-node
+    quadrature weight as one ds multiply (supersedes the pmz_half1w host
+    fold on this path; same 2^-49 error class)."""
+    rev = DS(_rev_v(r2.hi), _rev_v(r2.lo))
+    wb = DS(w.hi[:, None, None, None], w.lo[:, None, None, None])
+    return ds.mul(rev, wb)
+
+
+def _gmain_mode(cfg: CollisionConfig, pre: DsPrecomp, cmax: int, w: int,
+                forced: bool = False):
+    """Auto g-main fusion mode: ``"3"`` (all three stages in one kernel),
+    or ``False`` (staged).  The z-half-blocked ``"12"`` kernel
+    (:func:`boltzfft.oz.gmain12_nodemat`) stays strictly opt-in: measured
+    SLOWER than staged where "3" does not fit (64^3: 6.96 vs 7.98
+    evals/s; 48^3: lowering rejected at the natural block until the
+    sublane fix, then still behind — per-node launches with per-z-block
+    matrix reloads lose to the staged path's node-batched dots).
+
+    Requires TPU and merged exactness on the fused stages (``forced``
+    skips the backend gate: an explicit ``gmain_fused=True`` picks the
+    size-appropriate mode anywhere, e.g. the CPU interpret-mode suite).
+    The 3-stage kernel holds a whole node's live set in VMEM at once —
+    measured 45.6 MB scoped at 64^3 (16 MB limit), i.e. ~178 B/cell; it
+    fits grids up to ~40^3."""
     nx, ny, nz = cfg.grid_shape
-    nzh = nz // 2
     sm = pre.pm1[0].re.shape[-3]
-    for k in (ny, nx, nzh):
-        if not oz.merge_ok(k, sm=sm, cmax=cmax, w=w):
+    if not forced:
+        if jax.default_backend() != "tpu":
             return False
-    sx = min(oz.DEFAULT_SLICES_X, cmax + 1)
-    units = sum(
-        n * (d1 - d0) for (d0, d1, n) in oz._level_groups(cmax + 1, sx)
-    )
-    c_full = 2 * sx * 2 * (nx * nzh * ny)  # resident bf16 chunks
-    mats = 2 * 2 * units * 2 * 2 * (ny * ny + nx * nx + nzh * nz)
-    t_planes = 4 * 4 * max(nx * nzh * ny, ny * nzh * nx, nx * ny * nzh)
-    slabs = 2 * sx * 2 * max(ny * nzh * nx, nx * ny * nzh)
-    out = 2 * 4 * nx * ny * nz
-    est = c_full + mats + 2 * t_planes + slabs + out
-    return est <= 14 * 2**20
+        for k in (ny, nx):
+            if not oz.merge_ok(k, sm=sm, cmax=cmax, w=w):
+                return False
+    # measured anchor: 45.6 MB scoped VMEM at 64^3 (oz.py gmain3 docstring),
+    # proportional to the node volume; keep a safety margin under 16 MB
+    est3 = 45.6 * (nx * ny * nz) / (64**3)
+    # Mosaic requires the (nx*ny, nz) output block's sublane dim be a
+    # multiple of 8 (or the whole array) — tiny odd grids (e.g. 6^3) fail
+    # to lower on hardware; route them to the z-blocked kernel instead
+    tile3 = (nx * ny) % 8 == 0 or jax.default_backend() != "tpu"
+    if est3 <= 12.0 and tile3 and (
+        forced or oz.merge_ok(nz // 2, sm=sm, cmax=cmax, w=w)
+    ):
+        return "3"
+    # beyond the "3" envelope: staged wins on hardware (docstring numbers);
+    # a forced gmain_fused=True still gets the bounded-live-set kernel
+    return "12" if forced else False
 
 
 def _ds_sum_last(x: DS) -> DS:
@@ -618,6 +662,7 @@ def collide_ds(
     group_batch: Optional[int] = None,
     oz_merge: Optional[bool] = None,
     gmain_fused: Optional[bool] = None,
+    g1_reversal: Optional[bool] = None,
 ) -> DS:
     """Q(f, f) in double-single arithmetic.  Pure and jittable.
 
@@ -693,12 +738,33 @@ def collide_ds(
     (:data:`DS_PIPELINE_MERGE`): 32^3 +18%, 64^3 +11%, digits unchanged
     or improved (see the constant's note).
 
-    ``gmain_fused`` (half path, TPU): evaluate each node's whole main block
-    — y, x, half-z contractions — in ONE kernel with in-register transposes
-    (:func:`boltzfft.oz.gmain3_nodemat`); the stage intermediates never
-    touch HBM.  Bit-identical to the staged merged kernels (same chunk
-    values, dots, and fold order).  None = auto (:func:`_gmain3_ok`: on
-    when merged holds on all three stages and the VMEM estimate fits).
+    ``gmain_fused`` (half path, TPU): fuse each node's main-block
+    contractions into one kernel with in-register transposes so the stage
+    intermediates never touch HBM.  ``"3"`` = all three stages
+    (:func:`boltzfft.oz.gmain3_nodemat`; whole-node VMEM live set, fits
+    ~40^3 and below), ``"12"`` = y+x fused z-half-blocked with the half-z
+    stage staged (:func:`boltzfft.oz.gmain12_nodemat`; bounded live set,
+    any size), ``True`` = pick by size, ``False`` = staged.  All modes are
+    bit-identical to the staged merged kernels (same chunk values, dots,
+    and fold order).  None = auto (:func:`_gmain_mode`: TPU + merged
+    exactness; "3" under the measured 45.6 MB@64^3 VMEM anchor, else "12").
+
+    ``g1_reversal`` (half path, OPT-IN): derive stream 1's main block from
+    stream 2's by physical velocity reversal (``j -> N-1-j`` on the
+    cell-centered grid, :func:`_rev_v`) instead of computing it.  The
+    identity ``g1(v) = g2(-v)`` requires a centrally-symmetric
+    distribution ``f(v) = f(-v)`` (even physical spectrum) — it is NOT
+    true for general real f (the stream phases are conjugate pairs, so
+    ``g2(-v)`` matches ``g1`` only when the spectrum is even; measured
+    rel ~0.5 on noise input, <3e-14 on raw BKW —
+    ``tests/test_half_spectrum.py::TestG1Reversal``).  BKW/Maxwellian
+    relaxation states are exactly even, so this halves the dominant
+    per-node transform work for isotropic-relaxation runs (one index
+    flip + a ds weight multiply replaces stream 1's transforms; the
+    weight multiply supersedes the pmz_half1w host fold on this path).
+    Default OFF — never auto-enabled, because the operator must stay
+    correct for arbitrary f; enable it only when the input is known
+    centrally symmetric.
     """
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
@@ -768,6 +834,13 @@ def collide_ds(
             "(oz/ozk engine with g_stream='half'); it would be silently "
             "ignored here"
         )
+    if g1_reversal and not half:
+        raise ValueError(
+            "g1_reversal applies to the half-spectrum path only (oz/ozk "
+            "engine with g_stream='half'); it would be silently ignored "
+            "here"
+        )
+    rev1 = bool(g1_reversal) and half  # opt-in: exact only for even f
     if half:
         n_gl_tot = pre.beta1.hi.shape[0]
         gb = (
@@ -795,11 +868,16 @@ def collide_ds(
                 fhs, cmax=cmax, w=slw, interpret=None if not on_tpu else False,
                 merged=mok(pre.pm1[1]),
             )
-        fuse3 = (
-            _gmain3_ok(cfg, pre, cmax, slw)
-            if gmain_fused is None
-            else bool(gmain_fused)
-        ) and mg and f_pre_h is not None
+        if gmain_fused is None:
+            fuse3 = _gmain_mode(cfg, pre, cmax, slw)
+        elif gmain_fused is False:
+            fuse3 = False
+        elif gmain_fused is True:
+            fuse3 = _gmain_mode(cfg, pre, cmax, slw, forced=True)
+        else:
+            fuse3 = str(gmain_fused)  # explicit "3" / "12"
+        if not (mg and f_pre_h is not None):
+            fuse3 = False
         ckc = _corr_ck(kern, cmax, slw, ftail)
         # stream 1 carries the per-node quadrature weight (host-folded into
         # its z-half matrices and Nyquist coefficients), so the Hadamard
@@ -846,7 +924,13 @@ def collide_ds(
         )
 
     def group(acc, xs):
-        if half:
+        if half and rev1:
+            # g1-reversal mode: stream-1 tables never enter the scan (no
+            # dead per-step DMA); the group weights ride in for the ds fold
+            b1h = b1 = xs[0]
+            _, mxy2, mzh2g, c1g, c2g, gwn = xs
+            mxy1 = mzh1g = None
+        elif half:
             # first element: beta1 restricted to the half-z block (herm
             # downstream) or the full beta1 rows (A/B fallback)
             b1h = b1 = xs[0]
@@ -871,20 +955,31 @@ def collide_ds(
                 # the node axis is bit-identical and halves the main-stage
                 # launch count (the stage is partly launch-overhead-bound).
                 take = lambda t: jax.tree.map(lambda a: a[sl], t)
-                cat = lambda a, b: jax.tree.map(
-                    lambda x, y: jnp.concatenate((x, y)), a, b
-                )
-                r12 = _g_main_half(
-                    fhs, f_pre_h,
-                    cat(take(mxy1[1]), take(mxy2[1])),
-                    cat(take(mxy1[0]), take(mxy2[0])),
-                    cat(take(mzh1g), take(mzh2g)),
-                    cmax, slw, ftail, merged=mg,
-                    grid_shape=cfg.grid_shape, fused=fuse3,
-                )
-                c = r12.hi.shape[0] // 2
-                r1 = jax.tree.map(lambda a: a[:c], r12)
-                r2 = jax.tree.map(lambda a: a[c:], r12)
+                if rev1:
+                    # one stream of main-block transforms; g1(v) = g2(-v)
+                    # exactly for real f (conjugate phase tables) — the
+                    # dominant per-node transform work halves
+                    r2 = _g_main_half(
+                        fhs, f_pre_h, take(mxy2[1]), take(mxy2[0]),
+                        take(mzh2g), cmax, slw, ftail, merged=mg,
+                        grid_shape=cfg.grid_shape, fused=fuse3,
+                    )
+                    r1 = _g1_from_g2(r2, take(gwn))
+                else:
+                    cat = lambda a, b: jax.tree.map(
+                        lambda x, y: jnp.concatenate((x, y)), a, b
+                    )
+                    r12 = _g_main_half(
+                        fhs, f_pre_h,
+                        cat(take(mxy1[1]), take(mxy2[1])),
+                        cat(take(mxy1[0]), take(mxy2[0])),
+                        cat(take(mzh1g), take(mzh2g)),
+                        cmax, slw, ftail, merged=mg,
+                        grid_shape=cfg.grid_shape, fused=fuse3,
+                    )
+                    c = r12.hi.shape[0] // 2
+                    r1 = jax.tree.map(lambda a: a[:c], r12)
+                    r2 = jax.tree.map(lambda a: a[c:], r12)
                 # fused reconstruct+Hadamard+weighted-sum: the dense
                 # complex g fields never touch HBM (staged assembly was
                 # ~40 ms of a 165 ms 64^3 eval); the off-TPU twin runs
@@ -978,11 +1073,20 @@ def collide_ds(
             ds.czeros((nxg, nyg, nzg // 2), f.hi.dtype)
             if herm else ds.czeros(cfg.grid_shape, f.hi.dtype)
         )
-        xs = (
-            beta1h if herm else pre.beta1,
-            (pre.pm1[0], pre.pm1[1]), (pre.pm2[0], pre.pm2[1]),
-            pre.pmz_half1w, pre.pmz_half2, corr1, corr2,
-        )
+        if rev1:
+            # stream-1 tables (pm1, pmz_half1w) stay out of the scan
+            # entirely — no per-step slicing DMA for dead operands
+            xs = (
+                beta1h if herm else pre.beta1,
+                (pre.pm2[0], pre.pm2[1]), pre.pmz_half2, corr1, corr2,
+                pre.gain_w,
+            )
+        else:
+            xs = (
+                beta1h if herm else pre.beta1,
+                (pre.pm1[0], pre.pm1[1]), (pre.pm2[0], pre.pm2[1]),
+                pre.pmz_half1w, pre.pmz_half2, corr1, corr2,
+            )
         if gb > 1:
             # fold `gb` radial groups into each scan step: spatial-field
             # entries (beta1) gain a (gb,) axis, node-carrying tables
@@ -1110,6 +1214,7 @@ def make_ds_collision_operator(
     oz_cmax: Optional[int] = None, g_stream: Optional[str] = None,
     group_batch: Optional[int] = None, oz_merge: Optional[bool] = None,
     gmain_fused: Optional[bool] = None,
+    g1_reversal: Optional[bool] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """Build the compensated operator: ``(collide_fn, ds_precomp)``.
 
@@ -1118,15 +1223,16 @@ def make_ds_collision_operator(
     ``contract=None`` resolves via :func:`default_contract`; ``oz_cmax``
     is the Ozaki retention level, ``g_stream`` the inverse-stream
     formulation, ``group_batch`` the radial-group launch batching,
-    ``oz_merge`` the K-merged contraction toggle, and ``gmain_fused`` the
-    fused 3-stage main-block kernel toggle (see :func:`collide_ds`).
+    ``oz_merge`` the K-merged contraction toggle, ``gmain_fused`` the
+    fused main-block kernel mode, and ``g1_reversal`` the opt-in
+    even-symmetry stream reuse (see :func:`collide_ds`).
     """
     pre = build_ds_precomp(cfg, dtype)
     fn = partial(
         collide_ds, cfg, sub_batch=sub_batch,
         contract=contract or default_contract(), oz_cmax=oz_cmax,
         g_stream=g_stream, group_batch=group_batch, oz_merge=oz_merge,
-        gmain_fused=gmain_fused,
+        gmain_fused=gmain_fused, g1_reversal=g1_reversal,
     )
 
     def collide_fn(f, precomp):
@@ -1203,6 +1309,7 @@ def make_sharded_ds_collision_operator(
     group_batch: Optional[int] = None,
     oz_merge: Optional[bool] = None,
     gmain_fused: Optional[bool] = None,
+    g1_reversal: Optional[bool] = None,
 ) -> Tuple[Callable[[DS, DsPrecomp], DS], DsPrecomp]:
     """f64-class collision evals sharded over a device mesh.
 
@@ -1253,6 +1360,7 @@ def make_sharded_ds_collision_operator(
             gain_reduce=reducer, oz_cmax=oz_cmax, g_stream=g_stream,
             herm_downstream=herm_downstream, group_batch=group_batch,
             oz_merge=oz_merge, gmain_fused=gmain_fused,
+            g1_reversal=g1_reversal,
         )
         if ensemble_axis is not None:
             return jax.vmap(one)(f)

@@ -1515,6 +1515,135 @@ def gmain3_nodemat(
     return DS(*(a.reshape(c, nx, ny, nz) for a in out))
 
 
+def _gmain12_kernel(
+    x_ref, *rest, w, sx, groups, dims, nlev, sm, fold_tail, pin=False,
+):
+    """One (node, z-half block) of the y+x contractions fused (merged mode):
+    the stage-1 intermediate never leaves VMEM.  z is a passenger axis of
+    BOTH stages, so blocking it shrinks the live set without changing any
+    value (rows are independent).  Output layout ``(zb, nx, ny)`` — z-major
+    so block writes are full-lane tiles."""
+    nx, zb, ny = dims
+    opq = _opaque if pin else (lambda v: v)
+    ngr = len(groups)
+    my = rest[: 2 * ngr]
+    mx = rest[2 * ngr : 4 * ngr]
+    outs = rest[4 * ngr : 4 * ngr + 4]
+    mat = lambda r: r[0]
+    n_fold = min(nlev, sx + sm - 1)
+    ft = n_fold if fold_tail is None else max(1, min(fold_tail, n_fold))
+
+    # stage 1 (y): shared presliced chunks for this z block, rows (nx, zb)
+    full = x_ref[:].reshape(nx * zb, -1)
+    blk = full.shape[1] // sx
+    pre1 = lambda n: full[:, : n * blk]
+    t = _merged_staircase(
+        pre1, my[:ngr], my[ngr:], groups, ny, n_fold, ft, nx * zb, opq, mat
+    )
+    # (nx, zb, ny) -> (ny, zb, nx): rows (ny, zb), K = nx
+    t = [jnp.transpose(a.reshape(nx, zb, ny), (2, 1, 0)).reshape(
+        ny * zb, nx) for a in t]
+
+    # stage 2 (x), complex output
+    pre2 = _merged_prefix_planes(t[0], t[1], t[2], t[3], w, sx, opq)
+    t = _merged_staircase(
+        pre2, mx[:ngr], mx[ngr:], groups, nx, n_fold, ft, ny * zb, opq, mat
+    )
+    # (ny, zb, nx) -> (zb, nx, ny): full-lane output tiles
+    for o_ref, a in zip(outs, t):
+        o_ref[:] = jnp.transpose(a.reshape(ny, zb, nx), (1, 2, 0)).reshape(
+            1, zb, nx, ny
+        )
+
+
+def default_zh_block(nx: int, nzh: int) -> int:
+    """z-half block for the fused y+x kernel: the largest divisor of
+    ``nzh`` keeping the per-step live set well under the 16 MB scoped VMEM
+    (~<=1024 rows per stage at the default sx=7 merged width; 64^3 -> 16).
+
+    Mosaic requires a block's sublane dim be a multiple of 8 or the whole
+    axis (measured: zb=12 at 48^3 fails to lower), so candidates are
+    restricted accordingly; nzh itself is always legal."""
+    cap = max(1, 1024 // max(1, nx))
+    best = nzh  # whole axis: always a legal block
+    for zb in range(min(nzh, cap), 0, -1):
+        if nzh % zb == 0 and (zb % 8 == 0 or zb == nzh):
+            best = zb
+            break
+    return best
+
+
+def gmain12_nodemat(
+    x_pre: "PreslicedM",
+    m_y: CSlicedMatrix,
+    m_x: CSlicedMatrix,
+    grid_shape,
+    cmax: int = DEFAULT_CMAX,
+    w: int = DEFAULT_W,
+    fold_tail: Optional[int] = None,
+    zh_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> CDS:
+    """Fused y+x main-block contractions, z-half-blocked (merged layout).
+
+    The full 3-stage fusion (:func:`gmain3_nodemat`) needs its entire live
+    set in VMEM at once — measured 45.6 MB at 64^3 against the 16 MB scoped
+    limit.  Here only stages 1-2 fuse, and the z-half axis (a passenger of
+    both) is grid-blocked, so the per-step live set stays O(nx*zb) rows; the
+    half-z contraction stays a staged :func:`contract_last_oz_nodemat` call.
+    Per node-stream this removes the stage-1 boundary entirely (ds write +
+    XLA transpose + ds read) and pre-transposes the stage-2 output in
+    registers.  Returns the ``(C, Nx, Ny, Nz/2)`` CDS the half-z stage
+    consumes — bit-identical to the staged chain (z blocks partition rows;
+    every dot and fold is unchanged)."""
+    nx, ny, nz = grid_shape
+    nzh = nz // 2
+    c = m_y.re.shape[0]
+    for mm, k in ((m_y, ny), (m_x, nx)):
+        if not merge_ok(k, sm=mm.re.shape[-3], cmax=cmax, w=w):
+            raise ValueError("gmain12 needs merge_ok on both fused stages")
+    zb = default_zh_block(nx, nzh) if zh_block is None else zh_block
+    if nzh % zb:
+        raise ValueError(f"zh_block {zb} must divide Nz/2 = {nzh}")
+    sx_eff = min(DEFAULT_SLICES_X, cmax + 1)
+    lgroups = _level_groups(cmax + 1, sx_eff)
+
+    def stacks(m):
+        _sx, _g, gm = _toeplitz_mats_merged(m, DEFAULT_SLICES_X, cmax)
+        return [p[0] for p in gm] + [p[1] for p in gm]
+
+    mats = stacks(m_y) + stacks(m_x)
+    mat_specs = [
+        pl.BlockSpec((1,) + a.shape[1:], lambda i, j: (i, 0, 0))
+        for a in mats
+    ]
+    wlanes = x_pre.full.shape[-1]
+    x3 = x_pre.full.reshape(nx, nzh, wlanes)
+    x_spec = pl.BlockSpec((nx, zb, wlanes), lambda i, j: (0, j, 0))
+    out_spec = pl.BlockSpec((1, zb, nx, ny), lambda i, j: (i, j, 0, 0))
+    sm = m_y.re.shape[-3]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kern = partial(
+        _gmain12_kernel,
+        w=w, sx=sx_eff, groups=lgroups, dims=(nx, zb, ny),
+        nlev=cmax + 1, sm=sm, fold_tail=fold_tail, pin=interpret,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(c, nzh // zb),
+        in_specs=[x_spec] + mat_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, nzh, nx, ny), jnp.float32)
+        ] * 4,
+        interpret=interpret,
+    )(x3, *mats)
+    # (C, Nzh, Nx, Ny) -> (C, Nx, Ny, Nzh) for the staged half-z stage
+    rh, rl, ih, il = (a.transpose(0, 2, 3, 1) for a in out)
+    return CDS(DS(rh, rl), DS(ih, il))
+
+
 def transform3_oz_nodemat(
     x: CDS,
     mats,

@@ -192,6 +192,7 @@ def test_half_z_matrix_form():
 # ---------------------------------------------------------------------------
 
 import jax  # noqa: E402  (conftest pins the CPU x64 backend)
+import jax.numpy as jnp  # noqa: E402
 
 import boltzfft as bz  # noqa: E402
 from boltzfft import ds  # noqa: E402
@@ -452,23 +453,52 @@ class TestGmainFused:
         f = ds.from_f64(_noise_f(cfg, seed=13))
         q_s = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
                          gmain_fused=False)
-        q_f = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
-                         gmain_fused=True)
-        assert np.array_equal(np.asarray(q_s.hi), np.asarray(q_f.hi))
-        assert np.array_equal(np.asarray(q_s.lo), np.asarray(q_f.lo))
+        for mode in ("3", "12", True):
+            q_f = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                             gmain_fused=mode)
+            assert np.array_equal(np.asarray(q_s.hi), np.asarray(q_f.hi)), mode
+            assert np.array_equal(np.asarray(q_s.lo), np.asarray(q_f.lo)), mode
 
     def test_gmain_fused_anisotropic(self):
-        # distinct per-axis extents exercise all three in-kernel transposes
+        # distinct per-axis extents exercise all the in-kernel transposes
         cfg = bz.CollisionConfig(nv=6, nvy=8, nvz=10, ns=6, n_radial=4,
                                  impl="c2c", dtype="float32")
         pre = build_ds_precomp(cfg)
         f = ds.from_f64(_noise_f(cfg, seed=14))
         q_s = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
                          gmain_fused=False)
-        q_f = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
-                         gmain_fused=True)
-        assert np.array_equal(np.asarray(q_s.hi), np.asarray(q_f.hi))
-        assert np.array_equal(np.asarray(q_s.lo), np.asarray(q_f.lo))
+        for mode in ("3", "12"):
+            q_f = collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                             gmain_fused=mode)
+            assert np.array_equal(np.asarray(q_s.hi), np.asarray(q_f.hi)), mode
+            assert np.array_equal(np.asarray(q_s.lo), np.asarray(q_f.lo)), mode
+
+    def test_gmain12_zh_blocking_invariance(self):
+        # the z-half grid split must not change a single bit (rows are
+        # independent; same dots, same fold) — compare zb=1 vs full
+        from boltzfft import oz
+
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        rng = np.random.default_rng(21)
+        x = oz.CDS(
+            ds.from_f64(rng.standard_normal((8, 4, 8))),
+            ds.from_f64(rng.standard_normal((8, 4, 8))),
+        )
+        xp = oz.preslice_rows(x, interpret=True, merged=True)
+        m64 = rng.standard_normal((3, 8, 8)) + 1j * rng.standard_normal(
+            (3, 8, 8)
+        )
+        m = oz.slice_matrix_nodes(m64)
+        outs = [
+            oz.gmain12_nodemat(xp, m, m, (8, 8, 8), zh_block=zb,
+                               interpret=True)
+            for zb in (1, 2, 4)
+        ]
+        for o in outs[1:]:
+            for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(o)):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
 
     def test_gmain_fused_requires_merge_ok(self):
         # forcing the fused path past the merged exactness bound must fail
@@ -483,3 +513,136 @@ class TestGmainFused:
         m = oz.slice_matrix_nodes(m64)
         with pytest.raises(ValueError, match="merge"):
             oz.gmain3_nodemat(None, m, m, m, (8, 128, 16), interpret=True)
+
+
+def _even_f(cfg, seed=0):
+    """Centrally-symmetric positive input: ``f(v) = f(-v)``.  The grid is
+    cell-centered (``v_j + v_{N-1-j} = 0``, grid.py), so physical reversal
+    is the pure index flip ``j -> N-1-j`` — NOT ``j -> (N-j) mod N``
+    (node-centered convention; BKW states are flip-even but have an O(1)
+    defect under the mod-N map)."""
+    f = _noise_f(cfg, seed)
+    return 0.5 * (f + f[::-1, ::-1, ::-1])
+
+
+class TestG1Reversal:
+    """Opt-in even-symmetry stream reuse: g1(v) = g2(-v) holds IFF f is
+    centrally symmetric, ``f(v) = f(-v)`` (e.g. BKW/Maxwellian states).
+    The stream phase tables are exact conjugates (``pm1 = conj(pm2)``,
+    ds_operator.py build_ds_precomp), so for even f stream 1's main block
+    is the physical flip (``j -> N-1-j``, cell-centered grid) of stream
+    2's.  For general f the identity is FALSE (measured rel ~0.5 on
+    noise) — collide_ds ``g1_reversal`` is therefore strictly opt-in,
+    default OFF."""
+
+    def test_g1_equals_reversed_g2_oracle(self):
+        # end-to-end table identity through the REAL forward (the earlier
+        # oracle fed a raw array as the spectrum, which validated the map
+        # for an input class no physical state belongs to — raw BKW then
+        # failed at rel ~4; this one uses the pipeline's own f_hat)
+        from boltzfft.ds_operator import (
+            DS_PIPELINE_FOLD_TAIL, _g_main_half, _pipeline_slicing,
+        )
+
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        slw, _, cmax = _pipeline_slicing(cfg)
+        g = cfg.velocity_grid
+        fm = np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64)
+        fh = ds.transform3(ds.cds_from_real(ds.from_f64(fm)), m=pre.vfwd,
+                           real_in=True)
+        nx, ny, nz = cfg.grid_shape
+        nzh = nz // 2
+        kxm = jnp.asarray(np.arange(nx) != nx // 2, jnp.float32)
+        kym = jnp.asarray(np.arange(ny) != ny // 2, jnp.float32)
+        fmask = kxm[:, None, None] * kym[None, :, None]
+        fhs = ds._swap_last2(
+            jax.tree.map(lambda a: a[..., :nzh] * fmask, fh)
+        )
+        take0 = lambda t: jax.tree.map(lambda a: a[0, :2], t)
+        ft = DS_PIPELINE_FOLD_TAIL
+        r1w = _g_main_half(fhs, None, take0(pre.pm1[1]), take0(pre.pm1[0]),
+                           take0(pre.pmz_half1w), cmax, slw, ft, merged=True)
+        r2 = _g_main_half(fhs, None, take0(pre.pm2[1]), take0(pre.pm2[0]),
+                          take0(pre.pmz_half2), cmax, slw, ft, merged=True)
+        w = (np.asarray(pre.gain_w.hi[0, :2], np.float64)
+             + np.asarray(pre.gain_w.lo[0, :2], np.float64))
+        v1 = np.asarray(r1w.hi, np.float64) + np.asarray(r1w.lo, np.float64)
+        v2 = (np.asarray(r2.hi, np.float64)
+              + np.asarray(r2.lo, np.float64)) * w[:, None, None, None]
+        rev = lambda a: a[:, ::-1, ::-1, ::-1]  # physical flip, see _rev_v
+        rel = np.max(np.abs(v1 - rev(v2))) / np.max(np.abs(v1))
+        assert rel < 1e-12, rel
+
+    def test_reversal_pipeline_matches_vpu_on_bkw(self):
+        # the production use case: a RAW BKW state (not symmetrized by
+        # hand) through the full pipeline with the reversal on
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        fm = np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5),
+                        np.float64)
+        f = ds.from_f64(fm)
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        q = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                       g1_reversal=True)
+        )
+        rel = np.max(np.abs(q - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel < 1e-12, rel
+
+    def test_reversal_pipeline_matches_vpu_on_even_f(self):
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_even_f(cfg, seed=18))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        for kw in ({}, {"group_batch": 2}, {"herm_downstream": False}):
+            q = ds.to_f64(
+                collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                           g1_reversal=True, **kw)
+            )
+            rel = np.max(np.abs(q - q_vpu)) / np.max(np.abs(q_vpu))
+            assert rel < 1e-12, (kw, rel)
+
+    def test_reversal_wrong_for_general_f(self):
+        # the identity is false off the even-symmetry manifold — the knob
+        # must stay opt-in; this guards against ever auto-enabling it
+        cfg = bz.CollisionConfig(nv=8, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg, seed=18))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        q_def = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="oz", g_stream="half")
+        )
+        rel_def = np.max(np.abs(q_def - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel_def < 1e-12, rel_def  # default (no reversal) is exact
+        q_rev = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                       g1_reversal=True)
+        )
+        rel_rev = np.max(np.abs(q_rev - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel_rev > 1e-3, rel_rev  # and reversal on noise is NOT
+
+    def test_reversal_anisotropic(self):
+        cfg = bz.CollisionConfig(nv=6, nvy=8, nvz=10, ns=6, n_radial=4,
+                                 impl="c2c", dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_even_f(cfg, seed=19))
+        q_vpu = ds.to_f64(collide_ds(cfg, pre, f, contract="vpu"))
+        q = ds.to_f64(
+            collide_ds(cfg, pre, f, contract="oz", g_stream="half",
+                       g1_reversal=True)
+        )
+        rel = np.max(np.abs(q - q_vpu)) / np.max(np.abs(q_vpu))
+        assert rel < 1e-12, rel
+
+    def test_reversal_requires_half_path(self):
+        cfg = bz.CollisionConfig(nv=6, ns=6, n_radial=4, impl="c2c",
+                                 dtype="float32")
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(_noise_f(cfg))
+        with pytest.raises(ValueError, match="half"):
+            collide_ds(cfg, pre, f, contract="vpu", g1_reversal=True)
