@@ -152,6 +152,38 @@ def main():
             result["ds_oz_nv64_ns12"] = r64
         except Exception as e:
             result["ds_oz_nv64_ns12"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # fifth tracked config: ds-oz 64^3 with the opt-in g1 reversal — the
+        # relaxation-benchmark state is centrally symmetric (f(v) = f(-v)),
+        # and the reversal halves the dominant per-node transform work
+        # EXACTLY on that input class (collide_ds g1_reversal).  Labeled:
+        # this row's claim is restricted to even inputs; the general-input
+        # number is the row above.
+        try:
+            r64r = _measure_ds(64, 12, k=16, g1_reversal=True,
+                               gmain_fused=False)
+            r64r["vs_baseline"] = round(r64r["value"] * 4.9432e-01, 3)
+            r64r["input_class"] = "centrally_symmetric"
+            result["ds_oz_nv64_ns12_rev"] = r64r
+        except Exception as e:
+            result["ds_oz_nv64_ns12_rev"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]
+            }
+        # sixth tracked config: the accuracy MIDPOINT — cfg.oz_cmax=4 keeps
+        # ~2e-11 Linf at general input, filling the frontier hole between
+        # the fast f32 fused pipeline (~1e-8) and the digit-exact ds default
+        # (3.07e-12).  The measured ladder (docs/PERFORMANCE.md "accuracy
+        # midpoint") shows cmax=4 is the Pareto point: cmax=3 buys only 8%
+        # more speed for 100x the error, cmax=2 is dominated outright by
+        # fused_precision="highest".
+        try:
+            r64m = _measure_ds(64, 12, k=16, oz_cmax=4)
+            r64m["vs_baseline"] = round(r64m["value"] * 4.9432e-01, 3)
+            r64m["accuracy_class"] = "midpoint_2e-11"
+            result["ds_oz_nv64_ns12_cmax4"] = r64m
+        except Exception as e:
+            result["ds_oz_nv64_ns12_cmax4"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]
+            }
     except Exception as e:
         result["error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
@@ -159,8 +191,9 @@ def main():
     print(json.dumps(result))
 
 
-def _measure_ds(nv: int, ns: int, k: int = 2) -> dict:
-    """Chained ds evals (Ozaki MXU engine) + on-device BKW error check."""
+def _measure_ds(nv: int, ns: int, k: int = 2, **kw) -> dict:
+    """Chained ds evals (Ozaki MXU engine) + on-device BKW error check.
+    Extra ``kw`` pass through to :func:`collide_ds` (e.g. ``g1_reversal``)."""
     from boltzfft import ds
     from boltzfft.ds_operator import build_ds_precomp, collide_ds
 
@@ -170,14 +203,19 @@ def _measure_ds(nv: int, ns: int, k: int = 2) -> dict:
     f = ds.from_f64(np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64))
     dq = ds.from_f64(np.asarray(bz.bkw_dfdt(g.r_squared(), 6.5), np.float64))
     engine = "oz" if jax.default_backend() == "tpu" else "vpu"
+    if engine == "vpu":
+        kw = {x: v for x, v in kw.items()
+              if x not in ("g1_reversal", "gmain_fused")}
 
     @jax.jit
     def chain(p, x, d):
         def body(i, s):
-            return ds.add(s, ds.mul_f(collide_ds(cfg, p, s, contract=engine), 1e-3))
+            return ds.add(
+                s, ds.mul_f(collide_ds(cfg, p, s, contract=engine, **kw), 1e-3)
+            )
 
         out = jax.lax.fori_loop(0, k, body, x)
-        e = ds.sub(collide_ds(cfg, p, x, contract=engine), d)
+        e = ds.sub(collide_ds(cfg, p, x, contract=engine, **kw), d)
         idx = jnp.argmax(jnp.abs(e.hi + e.lo))
         return jnp.sum(out.hi), e.hi.reshape(-1)[idx], e.lo.reshape(-1)[idx]
 

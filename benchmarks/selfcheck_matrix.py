@@ -75,6 +75,16 @@ def ds_rows():
         ("ds-oz-merge-on", dict(oz_merge=True)),
         ("ds-oz-aniso-12x16x20", dict(
             nv=12, cfg_kwargs={"nvy": 16, "nvz": 20})),
+        # round-4 knobs: fused g-main kernels (bit-exact vs staged on any
+        # input) and the even-input-only g1 reversal (symmetrized probe)
+        ("ds-oz-gmain3", dict(g_stream="half", gmain_fused="3")),
+        ("ds-oz-gmain12", dict(g_stream="half", gmain_fused="12")),
+        ("ds-oz-rev-even", dict(g_stream="half", g1_reversal=True,
+                                symmetrize=True)),
+        # the accuracy-midpoint dial: cmax=3 truncates slice pairs to the
+        # ~1e-9 class by design, so the oz-vs-vpu probe needs a matching
+        # tolerance; breakage (wrong retention masks) still lands at O(1).
+        ("ds-oz-cmax3-midpoint", dict(oz_cmax=3, rel_tol=1e-6)),
     ]
 
 

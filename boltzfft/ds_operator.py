@@ -688,8 +688,10 @@ def collide_ds(
     the radial-group scan and the final inverse — the radial-sharded
     operator passes the compensated cross-device fold here.
 
-    ``oz_cmax`` (oz/ozk engines): Ozaki slice-pair retention level, default
-    from :func:`_pipeline_slicing` (cmax=6 at w=7).  The measured ladder at
+    ``oz_cmax`` (oz/ozk engines): Ozaki slice-pair retention level — the ds
+    pipeline's accuracy dial.  ``None`` defers to ``cfg.oz_cmax``, then to
+    the digit-exact default from :func:`_pipeline_slicing` (cmax=6 at w=7).
+    The measured ladder at
     64^3/Ns=12: cmax=6 keeps every reference digit (Linf 3.0689e-12),
     cmax=5 drifts the print (3.11e-12), cmax=4 degrades to 1.6e-11.  The
     ``vpu`` engine ignores it.
@@ -769,6 +771,8 @@ def collide_ds(
     ns = cfg.ns_eff
     sb = min(ns, sub_batch) if sub_batch else ns
     slw, _, cmax_def = _pipeline_slicing(cfg)
+    if oz_cmax is None:  # per-call kwarg > cfg.oz_cmax > digit-exact default
+        oz_cmax = getattr(cfg, "oz_cmax", None)
     cmax = cmax_def if oz_cmax is None else oz_cmax
     ftail = DS_PIPELINE_FOLD_TAIL
     mg = DS_PIPELINE_MERGE if oz_merge is None else bool(oz_merge)

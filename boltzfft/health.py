@@ -122,6 +122,7 @@ def selfcheck_ds(
     n_radial: Optional[int] = None,
     rel_tol: float = 1e-11,
     cfg_kwargs: Optional[dict] = None,
+    symmetrize: bool = False,
     **collide_kwargs,
 ) -> dict:
     """Cross-engine known-answer probe for the compensated (ds) pipeline.
@@ -138,6 +139,9 @@ def selfcheck_ds(
 
     Input is Nyquist-rich positive noise (adversarial for the half-spectrum
     path's exactness claims), fixed seed for reproducibility.
+    ``symmetrize`` makes it centrally symmetric (``f(v) = f(-v)``, the pure
+    index flip on the cell-centered grid) — required for probing the
+    even-input-only ``g1_reversal`` knob.
     """
     import jax
     import jax.numpy as jnp
@@ -152,7 +156,10 @@ def selfcheck_ds(
     )
     pre = build_ds_precomp(cfg)
     rng = np.random.default_rng(12345)
-    f = ds.from_f64(np.abs(rng.standard_normal(cfg.grid_shape)) + 0.1)
+    fm = np.abs(rng.standard_normal(cfg.grid_shape)) + 0.1
+    if symmetrize:
+        fm = 0.5 * (fm + fm[::-1, ::-1, ::-1])
+    f = ds.from_f64(fm)
 
     t0 = time.perf_counter()
 

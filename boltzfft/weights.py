@@ -119,6 +119,16 @@ class CollisionConfig:
     # order, half the per-node work.  False evaluates all ns nodes like the
     # reference (FFTWBoltzmannOperator.cpp:191-276).
     antipodal: bool = True
+    # ds-pipeline accuracy dial (oz/ozk engines): Ozaki slice-pair retention
+    # level.  None = digit-exact default (cmax=6 at w=7 — the f64 reference's
+    # printed BKW digits, see ds_operator._pipeline_slicing).  Lower values
+    # trade truncation error for slice-pair FLOPs along a measured ladder
+    # (64^3/Ns=12 TPU: see the "accuracy midpoint" table in
+    # docs/PERFORMANCE.md) — the accuracy midpoint between the fast f32
+    # fused pipeline (~1e-8) and the full ds pipeline (3.07e-12).  A
+    # per-call ``collide_ds(..., oz_cmax=)`` overrides this.  Ignored by the
+    # vpu engine and the non-ds impls.
+    oz_cmax: Optional[int] = None
 
     def __post_init__(self):
         if self.impl not in ("rfft", "c2c", "dft", "fused"):
@@ -160,6 +170,11 @@ class CollisionConfig:
             )
         if self.antipodal and self.ns % 2:
             raise ValueError("antipodal reduction requires an even ns")
+        if self.oz_cmax is not None and not (0 <= self.oz_cmax <= 14):
+            raise ValueError(
+                f"oz_cmax must be in [0, 14] (slice-pair level sum), got "
+                f"{self.oz_cmax!r}"
+            )
 
     # ---- derived static quantities -------------------------------------
     @property

@@ -120,3 +120,36 @@ class TestPrecomp:
         np.testing.assert_allclose(
             np.asarray(pre_r.beta2), np.asarray(pre_c.beta2[:, :, :5]), rtol=1e-14
         )
+
+
+class TestOzCmaxConfig:
+    """cfg.oz_cmax — the ds accuracy dial as a CollisionConfig field
+    (VERDICT r3 ask #6: the accuracy midpoint, plumbed as config)."""
+
+    def test_validation(self):
+        bz.CollisionConfig(nv=8, ns=6, oz_cmax=4)  # ok
+        with pytest.raises(ValueError, match="oz_cmax"):
+            bz.CollisionConfig(nv=8, ns=6, oz_cmax=-1)
+        with pytest.raises(ValueError, match="oz_cmax"):
+            bz.CollisionConfig(nv=8, ns=6, oz_cmax=15)
+
+    def test_cfg_field_matches_kwarg_bitwise(self):
+        """collide_ds(cfg-with-oz_cmax) == collide_ds(..., oz_cmax=) exactly,
+        and the per-call kwarg overrides the config field."""
+        from boltzfft import ds
+        from boltzfft.ds_operator import build_ds_precomp, collide_ds
+
+        kw = dict(nv=8, ns=6, n_radial=2, impl="c2c", dtype="float32")
+        cfg = bz.CollisionConfig(**kw)
+        cfg4 = bz.CollisionConfig(**kw, oz_cmax=4)
+        pre = build_ds_precomp(cfg)
+        f = ds.from_f64(
+            np.asarray(bz.bkw_f(cfg.velocity_grid.r_squared(), 6.5), np.float64)
+        )
+        q_kw = ds.to_f64(collide_ds(cfg, pre, f, contract="oz", oz_cmax=4))
+        q_cfg = ds.to_f64(collide_ds(cfg4, pre, f, contract="oz"))
+        np.testing.assert_array_equal(q_kw, q_cfg)
+        # per-call kwarg wins over the config field
+        q_ovr = ds.to_f64(collide_ds(cfg4, pre, f, contract="oz", oz_cmax=6))
+        q_six = ds.to_f64(collide_ds(cfg, pre, f, contract="oz", oz_cmax=6))
+        np.testing.assert_array_equal(q_ovr, q_six)
