@@ -67,6 +67,21 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
              "32^3, +11%% at 64^3, digits unchanged)",
     )
     p.add_argument(
+        "--gmain-fused", choices=["auto", "off", "3", "12"], default="auto",
+        help="ds half path: fused main-block kernel mode.  auto = measured "
+             "rule (whole-node '3' kernel where it fits, <=~40/axis), off = "
+             "staged merged kernels, 3/12 = force the whole-node or "
+             "z-half-blocked variant (bit-identical results either way)",
+    )
+    p.add_argument(
+        "--g1-reversal", action="store_true",
+        help="ds half path, OPT-IN: derive stream 1 from stream 2 by the "
+             "physical velocity reversal — EXACT ONLY for centrally "
+             "symmetric f(v) = f(-v) (e.g. the BKW/Maxwellian relaxation "
+             "states this driver evaluates); halves the dominant per-node "
+             "transform work (~1.4x at 64^3)",
+    )
+    p.add_argument(
         "--node-chunk", type=int, default=None,
         help="quadrature nodes per scan chunk (memory/speed tradeoff)",
     )

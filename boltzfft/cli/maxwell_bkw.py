@@ -134,6 +134,9 @@ def _run_ds(args):
         cfg, jit=False, contract=args.ds_contract, oz_cmax=args.oz_cmax,
         g_stream=args.g_stream, group_batch=args.group_batch,
         oz_merge=None if args.oz_merge is None else args.oz_merge == "on",
+        gmain_fused={"auto": None, "off": False}.get(
+            args.gmain_fused, args.gmain_fused),
+        g1_reversal=args.g1_reversal or None,
     )
 
     if args.steps > 0:
