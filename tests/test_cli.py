@@ -67,6 +67,37 @@ class TestMaxwellBKW:
         assert "Statistics for boltzfft/ds" in out
         assert "Linf error:" in out
 
+    def test_ds_knob_plumbing(self, monkeypatch):
+        # the round-4 flags (--gmain-fused, --g1-reversal) must reach the ds
+        # factory with the documented semantics; digits are pinned end-to-end
+        # by the on-hardware selfcheck matrix (ds-oz-rev-even row) and the
+        # test_half_spectrum oracles, so this only checks the arg plumbing
+        import boltzfft as bz
+        from boltzfft.cli import maxwell_bkw
+
+        seen = {}
+
+        def fake_factory(cfg, **kw):
+            seen.update(kw)
+            raise RuntimeError("stop after capture")
+
+        monkeypatch.setattr(bz, "make_ds_collision_operator", fake_factory)
+        args = ["--Nv", "8", "--Ns", "6", "--n-radial", "4", "--impl", "ds",
+                "--g-stream", "half", "--g1-reversal", "--gmain-fused", "12"]
+        with pytest.raises(RuntimeError, match="stop after capture"):
+            maxwell_bkw.main(args)
+        assert seen["g1_reversal"] is True
+        assert seen["gmain_fused"] == "12"
+        assert seen["g_stream"] == "half"
+
+        seen.clear()
+        with pytest.raises(RuntimeError, match="stop after capture"):
+            maxwell_bkw.main(["--Nv", "8", "--Ns", "6", "--n-radial", "4",
+                              "--impl", "ds"])
+        # defaults: auto kernel rule, reversal strictly opt-in (None/absent)
+        assert seen["gmain_fused"] is None
+        assert not seen["g1_reversal"]
+
     @pytest.mark.slow
     def test_ds_impl_relaxation(self, capsys):
         # slow tier: test_ds_relaxation covers the ds time-integration path
