@@ -10,7 +10,7 @@ RK time stepping, and ICI sharding of the quadrature-node and ensemble axes.
 
 from .bkw import bkw_dfdt, bkw_f, bkw_k, maxwellian
 from .grid import VelocityGrid, domain_from_support
-from .moments import Moments, moments
+from .moments import Moments, entropy, moments
 from .operator import (collide, fused_fits_vmem, gain_spectrum,
                        make_collision_operator)
 from .quadrature import (
@@ -105,6 +105,7 @@ __all__ = [
     "collide",
     "fused_fits_vmem",
     "domain_from_support",
+    "entropy",
     "error_norms",
     "error_norms_device",
     "gain_spectrum",

@@ -21,6 +21,37 @@ class Moments(NamedTuple):
     temperature: jnp.ndarray  # T = (2E/rho - |u|^2) / 3
 
 
+def _cell_weight(dv, cell_volume):
+    if cell_volume is None and dv is None:
+        raise ValueError("pass dv or cell_volume")
+    return cell_volume if cell_volume is not None else dv**3
+
+
+def entropy(f: jnp.ndarray, dv: float | None = None, *,
+            cell_volume: float | None = None) -> jnp.ndarray:
+    """Boltzmann H functional ``H(f) = sum f*log(f) dv^3`` over the trailing
+    velocity axes (leading axes, e.g. an ensemble or cell axis, broadcast).
+
+    The H-theorem says ``dH/dt <= 0`` along the homogeneous relaxation
+    ``df/dt = Q(f, f)``, with equality exactly at the Maxwellian sharing
+    f's mass/momentum/energy — so a monotone H trace is a physics probe of
+    the whole collision pipeline that needs no analytic solution (the test
+    suite asserts it along BKW relaxations, and that the co-moment
+    Maxwellian minimizes H; the reference has no entropy diagnostic — its
+    ``Utilities/statistics.hpp`` is run-timing stats only).
+
+    Convention for non-positive values: spectral collision updates can
+    undershoot to tiny negative f in the tails; those cells contribute 0
+    (the continuous integrand ``f log f -> 0`` as ``f -> 0+``), keeping the
+    diagnostic finite without masking genuine physics.
+    """
+    w = _cell_weight(dv, cell_volume)
+    pos = f > 0.0
+    safe = jnp.where(pos, f, 1.0)
+    return jnp.sum(jnp.where(pos, safe * jnp.log(safe), 0.0),
+                   axis=(-3, -2, -1)) * w
+
+
 def moments(f: jnp.ndarray, v, dv: float | None = None, *,
             cell_volume: float | None = None) -> Moments:
     """Compute moments of ``f`` on the tensor grid with 1-D coordinates ``v``.
@@ -37,9 +68,7 @@ def moments(f: jnp.ndarray, v, dv: float | None = None, *,
         w = cell_volume
     else:
         vx = vy = vz = v
-        if cell_volume is None and dv is None:
-            raise ValueError("pass dv or cell_volume")
-        w = cell_volume if cell_volume is not None else dv**3
+        w = _cell_weight(dv, cell_volume)
     mass = jnp.sum(f, axis=(-3, -2, -1)) * w
     mx = jnp.sum(f * vx[:, None, None], axis=(-3, -2, -1)) * w
     my = jnp.sum(f * vy[None, :, None], axis=(-3, -2, -1)) * w
