@@ -160,15 +160,17 @@ def place_cells(
     mesh: Mesh,
     x_axis: Optional[str] = None,
     y_axis: Optional[str] = None,
+    z_axis: Optional[str] = None,
 ):
     """Device-put a spatially-decomposed distribution with its leading cell
     axes sharded over mesh axes — the spatial domain decomposition for the
-    1D/2D transport solvers.
+    1D/2D/3D transport solvers.
 
-    ``f`` is ``(Cx, Nvx, Nvy, Nvz)`` (1D) or ``(Cx, Cy, Nvx, Nvy, Nvz)``
-    (2D); ``x_axis``/``y_axis`` name the mesh axes the spatial cell axes
-    shard over (None = replicate that axis).  The velocity axes are always
-    shard-local — an FFT axis is never sharded (SURVEY §6).
+    ``f`` is ``(Cx, Nvx, Nvy, Nvz)`` (1D), ``(Cx, Cy, Nvx, Nvy, Nvz)``
+    (2D), or ``(Cx, Cy, Cz, Nvx, Nvy, Nvz)`` (3D); ``x_axis``/``y_axis``/
+    ``z_axis`` name the mesh axes the spatial cell axes shard over (None =
+    replicate that axis).  The velocity axes are always shard-local — an
+    FFT axis is never sharded (SURVEY §6).
 
     No solver changes are needed downstream: under ``jit`` XLA's SPMD
     partitioner lowers the advection stencils' ``jnp.roll`` halo exchanges
@@ -181,10 +183,10 @@ def place_cells(
     reference has no spatial solver at all; this is a boltzfft extension.
     """
     n_cell_axes = f.ndim - 3
-    if n_cell_axes not in (1, 2):
+    if n_cell_axes not in (1, 2, 3):
         raise ValueError(
-            f"expected (Cx[, Cy], Nvx, Nvy, Nvz), got {f.ndim}-d input"
+            f"expected (Cx[, Cy[, Cz]], Nvx, Nvy, Nvz), got {f.ndim}-d input"
         )
-    names = (x_axis,) if n_cell_axes == 1 else (x_axis, y_axis)
+    names = (x_axis, y_axis, z_axis)[:n_cell_axes]
     spec = P(*names)
     return jax.device_put(f, jax.sharding.NamedSharding(mesh, spec))

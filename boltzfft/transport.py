@@ -161,6 +161,68 @@ def make_inhomogeneous_step(
 _AXIS_SCHEMES = {"upwind": _advect_upwind_axis, "muscl": _advect_muscl_axis}
 
 
+def _cell_velocities(cfg: CollisionConfig, ndim: int):
+    """Velocity coordinate arrays broadcast for ``ndim`` leading cell axes:
+    the i-th spatial direction advects with the i-th velocity coordinate."""
+    g = cfg.velocity_grid
+    rd = cfg.real_dtype
+    vs = (g.vx, g.vy, g.vz)[:ndim]
+    lead = (1,) * ndim
+    return tuple(
+        jnp.asarray(v, rd).reshape(
+            lead + tuple(-1 if k == i else 1 for k in range(3))
+        )
+        for i, v in enumerate(vs)
+    )
+
+
+def _make_step_nd(
+    cfg: CollisionConfig,
+    collide_fn,
+    *,
+    deltas: Tuple[float, ...],
+    dt: float,
+    knudsen: float,
+    vmap_cells: bool,
+    scheme: str,
+) -> Callable[[jnp.ndarray, Precomp], jnp.ndarray]:
+    """Shared N-dimensional Strang-split step builder (N = len(deltas)
+    leading periodic cell axes): palindromic ``A0(dt/2) .. A_{n-1}(dt/2)
+    C(dt) A_{n-1}(dt/2) .. A0(dt/2)`` — second-order splitting error."""
+    if scheme not in _AXIS_SCHEMES:
+        raise ValueError(
+            f"scheme must be one of {sorted(_AXIS_SCHEMES)}, got {scheme!r}"
+        )
+    advect = _AXIS_SCHEMES[scheme]
+    ndim = len(deltas)
+    vs = _cell_velocities(cfg, ndim)
+    inv_kn = 1.0 / knudsen
+
+    if vmap_cells:
+        q_one = jax.vmap(lambda f, pre: collide_fn(f, pre), in_axes=(0, None))
+    else:
+        q_one = collide_fn
+
+    def q_of(f, pre):
+        cells = int(np.prod(f.shape[:ndim]))
+        flat = f.reshape((cells,) + f.shape[ndim:])
+        return q_one(flat, pre).reshape(f.shape)
+
+    def step(f, pre):
+        for ax in range(ndim):
+            f = advect(f, vs[ax], deltas[ax], 0.5 * dt, ax)
+        # RK2 midpoint for the stiff-ish collision substep
+        k1 = q_of(f, pre)
+        f_mid = f + (0.5 * dt * inv_kn) * k1
+        k2 = q_of(f_mid, pre)
+        f = f + (dt * inv_kn) * k2
+        for ax in reversed(range(ndim)):
+            f = advect(f, vs[ax], deltas[ax], 0.5 * dt, ax)
+        return f
+
+    return step
+
+
 def make_inhomogeneous_step_2d(
     cfg: CollisionConfig,
     collide_fn: Callable[[jnp.ndarray, Precomp], jnp.ndarray],
@@ -188,40 +250,40 @@ def make_inhomogeneous_step_2d(
     the collision substep; the advection halo is a nearest-neighbor
     collective permute).
     """
-    if scheme not in _AXIS_SCHEMES:
-        raise ValueError(
-            f"scheme must be one of {sorted(_AXIS_SCHEMES)}, got {scheme!r}"
-        )
-    advect = _AXIS_SCHEMES[scheme]
-    g = cfg.velocity_grid
-    rd = cfg.real_dtype
-    vx = jnp.asarray(g.vx, rd).reshape(1, 1, -1, 1, 1)
-    vy = jnp.asarray(g.vy, rd).reshape(1, 1, 1, -1, 1)
-    inv_kn = 1.0 / knudsen
+    return _make_step_nd(
+        cfg, collide_fn, deltas=(dx, dy), dt=dt, knudsen=knudsen,
+        vmap_cells=vmap_cells, scheme=scheme,
+    )
 
-    if vmap_cells:
-        q_one = jax.vmap(lambda f, pre: collide_fn(f, pre), in_axes=(0, None))
-    else:
-        q_one = collide_fn
 
-    def q_of(f, pre):
-        cx, cy = f.shape[:2]
-        flat = f.reshape((cx * cy,) + f.shape[2:])
-        return q_one(flat, pre).reshape(f.shape)
+def make_inhomogeneous_step_3d(
+    cfg: CollisionConfig,
+    collide_fn: Callable[[jnp.ndarray, Precomp], jnp.ndarray],
+    *,
+    dx: float,
+    dy: float,
+    dz: float,
+    dt: float,
+    knudsen: float = 1.0,
+    vmap_cells: bool = True,
+    scheme: str = "muscl",
+) -> Callable[[jnp.ndarray, Precomp], jnp.ndarray]:
+    """One Strang-split 3D×3V step ``f -> f(t + dt)`` — the full kinetic
+    phase space.
 
-    def step(f, pre):
-        f = advect(f, vx, dx, 0.5 * dt, 0)
-        f = advect(f, vy, dy, 0.5 * dt, 1)
-        # RK2 midpoint for the stiff-ish collision substep
-        k1 = q_of(f, pre)
-        f_mid = f + (0.5 * dt * inv_kn) * k1
-        k2 = q_of(f_mid, pre)
-        f = f + (dt * inv_kn) * k2
-        f = advect(f, vy, dy, 0.5 * dt, 1)
-        f = advect(f, vx, dx, 0.5 * dt, 0)
-        return f
-
-    return step
+    ``f`` has shape ``(Cx, Cy, Cz, Nvx, Nvy, Nvz)`` (three periodic spatial
+    axes leading), solving ``df/dt + v·grad_x f = Q(f, f)/Kn`` with the
+    palindromic splitting ``Ax Ay Az C Az Ay Ax`` (half-steps on every
+    advection; second-order splitting error).  ``collide_fn`` semantics
+    match :func:`make_inhomogeneous_step_2d` — with ``vmap_cells=False``
+    the flattened ``(Cx*Cy*Cz, ...)`` cell stack goes to an
+    ensemble-sharded operator in one call.  For an explicit 3-D domain
+    decomposition with shard-local FFTs use :func:`make_sharded_step_3d`.
+    """
+    return _make_step_nd(
+        cfg, collide_fn, deltas=(dx, dy, dz), dt=dt, knudsen=knudsen,
+        vmap_cells=vmap_cells, scheme=scheme,
+    )
 
 
 def _halo_exchange(f, axis: int, width: int, axis_name: str):
@@ -243,6 +305,78 @@ def _halo_exchange(f, axis: int, width: int, axis_name: str):
         lo, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
     return jnp.concatenate([left_halo, f, right_halo], axis=axis)
+
+
+def _make_sharded_step_nd(
+    cfg: CollisionConfig,
+    collide_fn,
+    mesh,
+    *,
+    deltas: Tuple[float, ...],
+    dt: float,
+    axes: Tuple[Optional[str], ...],
+    knudsen: float,
+    scheme: str,
+    jit: bool,
+) -> Callable[[jnp.ndarray, Precomp], jnp.ndarray]:
+    """Shared N-dimensional spatially-decomposed Strang step (see
+    :func:`make_sharded_step_2d` for the design rationale): MUSCL/upwind
+    stencils on halo-extended local blocks (``ppermute`` ring exchange per
+    sharded axis), collisions vmapped over the shard's local cells with
+    every FFT shard-local by construction."""
+    from jax.sharding import PartitionSpec as P
+
+    if scheme not in _AXIS_SCHEMES:
+        raise ValueError(
+            f"scheme must be one of {sorted(_AXIS_SCHEMES)}, got {scheme!r}"
+        )
+    advect = _AXIS_SCHEMES[scheme]
+    halo_w = 2 if scheme == "muscl" else 1
+    ndim = len(deltas)
+    vs = _cell_velocities(cfg, ndim)
+    inv_kn = 1.0 / knudsen
+    q_one = jax.vmap(lambda f, pre: collide_fn(f, pre), in_axes=(0, None))
+
+    def advect_ax(f, v, d, dtt, axis, name):
+        if name is None:
+            return advect(f, v, d, dtt, axis)
+        if f.shape[axis] < halo_w:
+            raise ValueError(
+                f"local cell block of {f.shape[axis]} along axis {axis} is "
+                f"smaller than the {scheme!r} stencil's halo width "
+                f"{halo_w}; use more cells or fewer shards on that axis"
+            )
+        ext = _halo_exchange(f, axis, halo_w, name)
+        out = advect(ext, v, d, dtt, axis)
+        return jax.lax.slice_in_dim(
+            out, halo_w, halo_w + f.shape[axis], axis=axis
+        )
+
+    def q_of(f, pre):
+        cells = int(np.prod(f.shape[:ndim]))
+        flat = f.reshape((cells,) + f.shape[ndim:])
+        return q_one(flat, pre).reshape(f.shape)
+
+    def local_step(f, pre):
+        for ax in range(ndim):
+            f = advect_ax(f, vs[ax], deltas[ax], 0.5 * dt, ax, axes[ax])
+        k1 = q_of(f, pre)
+        f_mid = f + (0.5 * dt * inv_kn) * k1
+        k2 = q_of(f_mid, pre)
+        f = f + (dt * inv_kn) * k2
+        for ax in reversed(range(ndim)):
+            f = advect_ax(f, vs[ax], deltas[ax], 0.5 * dt, ax, axes[ax])
+        return f
+
+    f_spec = P(*axes)
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(f_spec, P()),
+        out_specs=f_spec,
+        check_vma=False,
+    )
+    return jax.jit(step) if jit else step
 
 
 def make_sharded_step_2d(
@@ -280,61 +414,46 @@ def make_sharded_step_2d(
     ``(Cx, Cy, Nvx, Nvy, Nvz)`` with Cx/Cy divisible by their mesh-axis
     sizes.  Place inputs with :func:`boltzfft.place_cells`.
     """
-    from jax.sharding import PartitionSpec as P
-
-    if scheme not in _AXIS_SCHEMES:
-        raise ValueError(
-            f"scheme must be one of {sorted(_AXIS_SCHEMES)}, got {scheme!r}"
-        )
-    advect = _AXIS_SCHEMES[scheme]
-    halo_w = 2 if scheme == "muscl" else 1
-    g = cfg.velocity_grid
-    rd = cfg.real_dtype
-    vx = jnp.asarray(g.vx, rd).reshape(1, 1, -1, 1, 1)
-    vy = jnp.asarray(g.vy, rd).reshape(1, 1, 1, -1, 1)
-    inv_kn = 1.0 / knudsen
-    q_one = jax.vmap(lambda f, pre: collide_fn(f, pre), in_axes=(0, None))
-
-    def advect_ax(f, v, d, dtt, axis, name):
-        if name is None:
-            return advect(f, v, d, dtt, axis)
-        if f.shape[axis] < halo_w:
-            raise ValueError(
-                f"local cell block of {f.shape[axis]} along axis {axis} is "
-                f"smaller than the {scheme!r} stencil's halo width "
-                f"{halo_w}; use more cells or fewer shards on that axis"
-            )
-        ext = _halo_exchange(f, axis, halo_w, name)
-        out = advect(ext, v, d, dtt, axis)
-        return jax.lax.slice_in_dim(
-            out, halo_w, halo_w + f.shape[axis], axis=axis
-        )
-
-    def q_of(f, pre):
-        cx, cy = f.shape[:2]
-        flat = f.reshape((cx * cy,) + f.shape[2:])
-        return q_one(flat, pre).reshape(f.shape)
-
-    def local_step(f, pre):
-        f = advect_ax(f, vx, dx, 0.5 * dt, 0, x_axis)
-        f = advect_ax(f, vy, dy, 0.5 * dt, 1, y_axis)
-        k1 = q_of(f, pre)
-        f_mid = f + (0.5 * dt * inv_kn) * k1
-        k2 = q_of(f_mid, pre)
-        f = f + (dt * inv_kn) * k2
-        f = advect_ax(f, vy, dy, 0.5 * dt, 1, y_axis)
-        f = advect_ax(f, vx, dx, 0.5 * dt, 0, x_axis)
-        return f
-
-    f_spec = P(x_axis, y_axis)
-    step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(f_spec, P()),
-        out_specs=f_spec,
-        check_vma=False,
+    return _make_sharded_step_nd(
+        cfg, collide_fn, mesh, deltas=(dx, dy), dt=dt,
+        axes=(x_axis, y_axis), knudsen=knudsen, scheme=scheme, jit=jit,
     )
-    return jax.jit(step) if jit else step
+
+
+def make_sharded_step_3d(
+    cfg: CollisionConfig,
+    collide_fn: Callable[[jnp.ndarray, Precomp], jnp.ndarray],
+    mesh,
+    *,
+    dx: float,
+    dy: float,
+    dz: float,
+    dt: float,
+    x_axis: Optional[str] = None,
+    y_axis: Optional[str] = None,
+    z_axis: Optional[str] = None,
+    knudsen: float = 1.0,
+    scheme: str = "muscl",
+    jit: bool = True,
+) -> Callable[[jnp.ndarray, Precomp], jnp.ndarray]:
+    """3D×3V Strang step with an explicit 3-D spatial domain decomposition
+    — the full-phase-space production configuration.
+
+    The cell grid ``(Cx, Cy, Cz)`` shards over up to three mesh axes (any
+    may be None = local).  Same construction as
+    :func:`make_sharded_step_2d` — halo-extended MUSCL stencils via
+    ``ppermute`` ring exchanges per sharded direction, collisions vmapped
+    over shard-local cells, every velocity FFT shard-local (the velocity
+    axes are never decomposed; SURVEY §6) — extended to the third axis.
+    ``f`` has shape ``(Cx, Cy, Cz, Nvx, Nvy, Nvz)`` with each cell axis
+    divisible by its mesh-axis size.  Place inputs with
+    :func:`boltzfft.place_cells` (``z_axis=...``).
+    """
+    return _make_sharded_step_nd(
+        cfg, collide_fn, mesh, deltas=(dx, dy, dz), dt=dt,
+        axes=(x_axis, y_axis, z_axis), knudsen=knudsen, scheme=scheme,
+        jit=jit,
+    )
 
 
 def sod_initial_condition(

@@ -325,6 +325,92 @@ class TestStep2D:
             )
 
 
+class TestStep3D:
+    """The 3D×3V Strang solver — the full kinetic phase space (round-4:
+    completes the 1D/2D/3D dimensional ladder on the same N-d core)."""
+
+    def _cfg(self):
+        return bz.CollisionConfig(nv=8, ns=6, n_radial=2, impl="rfft")
+
+    def test_uniform_z_matches_2d(self):
+        # z-uniform data: the Az half-steps are exact no-ops, so the 3D
+        # step must equal the 2D step broadcast over the z cells, bitwise.
+        cfg = self._cfg()
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        base = np.asarray(transport.sod_initial_condition(cfg, 1))[0]
+        rng = np.random.RandomState(11)
+        f2d = jnp.asarray(
+            base[None, None] * (1.0 + 0.2 * rng.rand(4, 3, 1, 1, 1))
+        )
+        f3d = jnp.broadcast_to(f2d[:, :, None], (4, 3, 2) + base.shape)
+        kw = dict(dx=0.25, dy=0.5, dt=0.01, knudsen=0.5)
+        step2 = transport.make_inhomogeneous_step_2d(cfg, coll, **kw)
+        step3 = transport.make_inhomogeneous_step_3d(cfg, coll, dz=0.4, **kw)
+        out2 = np.asarray(jax.jit(step2)(f2d, pre))
+        out3 = np.asarray(jax.jit(step3)(f3d, pre))
+        for k in range(2):
+            np.testing.assert_array_equal(out3[:, :, k], out2)
+
+    def test_mass_conserved_3d(self):
+        cfg = self._cfg()
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        rng = np.random.RandomState(5)
+        base = np.asarray(transport.sod_initial_condition(cfg, 1))[0]
+        f = jnp.asarray(
+            base[None, None, None]
+            * (1.0 + 0.2 * rng.rand(3, 2, 2, 1, 1, 1))
+        )
+        step = transport.make_inhomogeneous_step_3d(
+            cfg, coll, dx=0.3, dy=0.2, dz=0.25, dt=0.01, knudsen=1.0
+        )
+        out = jax.jit(step)(f, pre)
+        tot0 = float(jnp.sum(f))
+        assert abs(float(jnp.sum(out)) - tot0) / tot0 < 2e-4
+        step_free = transport.make_inhomogeneous_step_3d(
+            cfg, coll, dx=0.3, dy=0.2, dz=0.25, dt=0.01, knudsen=1e30
+        )
+        tot2 = float(jnp.sum(jax.jit(step_free)(f, pre)))
+        assert abs(tot2 - tot0) / tot0 < 1e-13
+
+    def test_shard_map_3d_parity_and_local_ffts(self):
+        # 2x2x2 mesh = all 8 virtual devices; 2 cells/shard on every axis
+        # (= the MUSCL halo width)
+        cfg = self._cfg()
+        coll, pre = bz.make_collision_operator(cfg, jit=False)
+        rng = np.random.RandomState(9)
+        base = np.asarray(transport.sod_initial_condition(cfg, 1))[0]
+        f = jnp.asarray(
+            base[None, None, None]
+            * (1.0 + 0.3 * rng.rand(4, 4, 4, 1, 1, 1))
+        )
+        kw = dict(dx=0.3, dy=0.2, dz=0.25, dt=0.01, knudsen=1.0)
+        ref = np.asarray(
+            jax.jit(transport.make_inhomogeneous_step_3d(cfg, coll, **kw))(
+                f, pre
+            )
+        )
+        mesh = bz.make_mesh([("cx", 2), ("cy", 2), ("cz", 2)])
+        sh_step = transport.make_sharded_step_3d(
+            cfg, coll, mesh, x_axis="cx", y_axis="cy", z_axis="cz", **kw
+        )
+        f_sh = bz.place_cells(f, mesh, x_axis="cx", y_axis="cy", z_axis="cz")
+        out = np.asarray(sh_step(f_sh, pre))
+        np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+        txt = sh_step.lower(f_sh, pre).compile().as_text()
+        assert "collective-permute" in txt  # the ppermute halos
+        assert "all-gather" not in txt  # ffts stay shard-local
+
+    def test_3d_placement(self):
+        cfg = self._cfg()
+        base = np.asarray(transport.sod_initial_condition(cfg, 1))[0]
+        f = jnp.asarray(np.broadcast_to(base, (2, 2, 2) + base.shape))
+        mesh = bz.make_mesh([("cx", 2), ("cz", 2)])
+        f_sh = bz.place_cells(f, mesh, x_axis="cx", z_axis="cz")
+        assert f_sh.sharding.spec == jax.sharding.PartitionSpec(
+            "cx", None, "cz"
+        )
+
+
 class TestSpatialSharding:
     """2D spatial domain decomposition over the device mesh.
 
