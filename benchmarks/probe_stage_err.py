@@ -23,7 +23,17 @@ mirror ``operator.collide`` / ``operator._gain_chunk``
   fwd2   h_hat = rfftn(g1*g2)           FFT butterflies (B nodes)
   wsum   sum_b w_b beta1_b h_hat_b      node accumulation (the classic
                                         compensated-sum target)
-  finale irfftn(q_gain_hat), loss conv, Q assembly
+  finale_b2mul    beta2 * f_hat         pointwise product (compensatable)
+  finale_fft      irfftn(q_gain_hat), irfftn(beta2*f_hat)   FFT butterflies
+  finale_assembly Q = q_gain - loss*f   product + cancelling subtraction
+                                        (compensatable; carries the ~4.4x
+                                        |gain|/|Q| cancellation amplification)
+
+The finale is split at this granularity (round-4 advisor finding) so the
+"ffts" group holds ONLY transform butterflies: the loss multiply and the
+gain-loss subtraction are products/sums an EFT-compensated pipeline could
+fix, and lumping them with the inverse transforms overstated the
+non-compensatable floor.
 
 Run on CPU with x64:
   PYTHONPATH= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 \
@@ -84,7 +94,6 @@ def main() -> int:
 
         b = pre.rho.shape[0]
         c = args.chunk
-        q_gain_hat = jnp.zeros(f_hat.shape, C128)
         parts = []
         for i in range(0, b, c):
             rho, sigma, gw = pre.rho[i : i + c], pre.sigma[i : i + c], pre.gain_w[i : i + c]
@@ -111,12 +120,21 @@ def main() -> int:
 
         q_gain_hat = st("wsum", wsum_stage, *[w for w, _ in parts], *[h for _, h in parts])
 
-        def finale(qgh, fh, fx):
-            q_gain = jnp.fft.irfftn(qgh, s=shape, axes=_FFT_AXES)
-            loss = jnp.fft.irfftn(pre.beta2.astype(fh.dtype) * fh, s=shape, axes=_FFT_AXES)
-            return q_gain - loss * fx
+        b2fh = st(
+            "finale_b2mul", lambda fh: pre.beta2.astype(fh.dtype) * fh, f_hat
+        )
 
-        return np.asarray(st("finale", finale, q_gain_hat, f_hat, fx))
+        def fin_fft(qgh, bf):
+            return (
+                jnp.fft.irfftn(qgh, s=shape, axes=_FFT_AXES),
+                jnp.fft.irfftn(bf, s=shape, axes=_FFT_AXES),
+            )
+
+        q_gain, loss = st("finale_fft", fin_fft, q_gain_hat, b2fh)
+        return np.asarray(
+            st("finale_assembly", lambda qg, lo, x: qg - lo * x,
+               q_gain, loss, fx)
+        )
 
     truth = run("")
     scale = np.abs(truth).max()
@@ -129,24 +147,26 @@ def main() -> int:
     print(f"# Nv={args.Nv} Ns={args.Ns} B={pre.rho.shape[0]} nodes  "
           f"max|Q64|={scale:.3e}  max|gain|/max|Q|={gain_mag / scale:.1f}  "
           f"(rel Linf vs all-f64 truth)")
-    stages = ["input", "fwd", "alpha", "inv", "had", "fwd2", "wsum", "finale"]
+    stages = ["input", "fwd", "alpha", "inv", "had", "fwd2", "wsum",
+              "finale_b2mul", "finale_fft", "finale_assembly"]
     errs = {}
     for s in stages:
         q = run(s)
         errs[s] = np.abs(q - truth).max() / scale
-        print(f"{s:8s} {errs[s]:.3e}")
+        print(f"{s:16s} {errs[s]:.3e}")
     tot = np.sqrt(sum(e * e for e in errs.values()))
-    print(f"{'rss':8s} {tot:.3e}   (root-sum-square of one-hot stages)")
+    print(f"{'rss':16s} {tot:.3e}   (root-sum-square of one-hot stages)")
 
-    ffts = ("fwd", "inv", "fwd2", "finale")
-    comp = ("input", "alpha", "had", "wsum")
+    ffts = ("fwd", "inv", "fwd2", "finale_fft")
+    comp = ("input", "alpha", "had", "wsum", "finale_b2mul",
+            "finale_assembly")
     for label, group in (
         ("ffts", ffts),       # floor of ANY product/sum-compensated pipeline
         ("nonfft", comp),     # what EFT compensation of products/sums buys
         ("all", ffts + comp),
     ):
         q = run(group)
-        print(f"{label:8s} {np.abs(q - truth).max() / scale:.3e}   (group)")
+        print(f"{label:16s} {np.abs(q - truth).max() / scale:.3e}   (group)")
     return 0
 
 

@@ -29,6 +29,12 @@ def main(argv=None):
                         "step if one exists")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="RK4 steps between checkpoints (0 = only at the end)")
+    p.add_argument("--h-tol", type=float, default=0.01,
+                   help="H-theorem gate: max allowed per-step H rise as a "
+                        "fraction of that member's total dissipation (tail-"
+                        "quadrature noise makes coarse grids, Nv<32, mildly "
+                        "non-monotone on exact BKW data — the Nv=32 oracle "
+                        "test asserts strict monotonicity)")
     args = p.parse_args(argv)
 
     import jax
@@ -69,23 +75,25 @@ def main(argv=None):
     f0 = jnp.stack(
         [jnp.asarray(bz.bkw_f(rsq, t), cfg.real_dtype) for t in ts]
     )
-    v = jnp.asarray(g.v, cfg.real_dtype)
+    # host np constant: a device closure constant must round-trip D2H at
+    # trace time, which wedges remote-TPU tunnels
+    v = np.asarray(g.v, cfg.real_dtype)
 
     if args.checkpoint_dir:
         return _run_checkpointed(args, bz, cfg, collide_fn, pre, f0, v, g)
 
     run = bz.make_relaxation(
         collide_fn, pre, dt=args.dt, n_steps=args.steps, method="rk4",
-        record=lambda f: bz.moments(f, v, g.dv),
+        record=lambda f: (bz.moments(f, v, g.dv), bz.entropy(f, g.dv)),
     )
     t0 = time.perf_counter()
     traj = run(f0)
-    mass = np.asarray(traj.recorded.mass)  # D2H read synchronizes
+    mass = np.asarray(traj.recorded[0].mass)  # D2H read synchronizes
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     traj = run(f0)
-    mass = np.asarray(traj.recorded.mass)
+    mass = np.asarray(traj.recorded[0].mass)
     run_time = time.perf_counter() - t0
 
     evals = args.ensemble * args.steps * 4  # RK4: 4 collision evals/step
@@ -93,8 +101,23 @@ def main(argv=None):
     print(f"collision evals: {evals} -> {evals / run_time:.1f} evals/s aggregate")
     print(f"final mass range: [{mass[-1].min():.6f}, {mass[-1].max():.6f}]")
     print(f"final temperature range: "
-          f"[{np.asarray(traj.recorded.temperature)[-1].min():.6f}, "
-          f"{np.asarray(traj.recorded.temperature)[-1].max():.6f}]")
+          f"[{np.asarray(traj.recorded[0].temperature)[-1].min():.6f}, "
+          f"{np.asarray(traj.recorded[0].temperature)[-1].max():.6f}]")
+    # H-theorem monitor: per-member H traces (steps, E) must dissipate
+    # monotonically along the homogeneous relaxation (bz.entropy oracle
+    # tests calibrate the convention; no analytic solution needed)
+    h = np.asarray(traj.recorded[1], np.float64)
+    h0 = np.asarray(bz.entropy(f0, g.dv), np.float64)
+    h_steps = np.diff(np.concatenate([h0[None], h]), axis=0)
+    dissipated = h0 - h[-1]  # per member
+    print(f"H range: [{h0.min():.6f}, {h0.max():.6f}] -> "
+          f"[{h[-1].min():.6f}, {h[-1].max():.6f}] "
+          f"(worst per-step rise {h_steps.max():.3e})")
+    if not (np.all(dissipated > 0.0)
+            and np.all(h_steps.max(axis=0) <= args.h_tol * dissipated)):
+        print("FAIL: H-theorem gate (every member's H must dissipate "
+              f"monotonically within --h-tol {args.h_tol})", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -32,6 +32,9 @@ def main(argv=None):
                    help="shard cells over this many devices (ensemble axis)")
     p.add_argument("--scheme", choices=["muscl", "upwind"], default="muscl",
                    help="advection scheme (muscl = 2nd-order TVD, default)")
+    p.add_argument("--h-tol", type=float, default=0.01,
+                   help="H-theorem gate: max allowed per-step H increase as "
+                        "a fraction of the total dissipation |H_end - H_0|")
     args = p.parse_args(argv)
 
     import jax
@@ -69,13 +72,28 @@ def main(argv=None):
           f"Kn={args.knudsen} Nv={args.Nv} Ns={args.Ns} impl={cfg.impl} "
           f"scheme={args.scheme}")
 
-    run = jax.jit(lambda f, pre: jax.lax.fori_loop(
-        0, args.steps, lambda i, x: step(x, pre), f))
+    dx_w = args.x_length / args.nx
+
+    def h_total(f):
+        # total Boltzmann H = sum_cells H(f_cell) dx — the no-oracle
+        # physics monitor (non-increasing along the kinetic evolution)
+        return jnp.sum(bz.entropy(f, g.dv)) * dx_w
+
+    # chain every step in ONE jitted program, carrying the per-step H
+    # trace out as scalars (negligible work vs the collision substep)
+    @jax.jit
+    def run(f, pre):
+        def body(x, _):
+            x = step(x, pre)
+            return x, h_total(x)
+        return jax.lax.scan(body, f, None, length=args.steps)
 
     mass0 = float(transport.density_profile(f, g.dv).sum())
+    h0 = float(h_total(f))
     t0 = time.perf_counter()
-    f = run(f, pre)
+    f, h_tr = run(f, pre)
     rho = np.asarray(transport.density_profile(f, g.dv))
+    h_trace = np.asarray(h_tr, np.float64)
     wall = time.perf_counter() - t0
     mass1 = float(rho.sum())
 
@@ -83,11 +101,25 @@ def main(argv=None):
           f"({args.steps * args.nx * 2 / wall:.1f} collision evals/s aggregate)")
     print(f"total mass: {mass0:.6f} -> {mass1:.6f} "
           f"(rel drift {abs(mass1 - mass0) / mass0:.2e})")
+    trace = np.concatenate(([h0], h_trace))
+    stride = max(1, args.steps // 8)
+    samples = " ".join(
+        f"{h:.6f}" for h in trace[:: stride][: (args.steps // stride) + 1]
+    )
+    print(f"H trace (every {stride} steps): {samples} -> {trace[-1]:.6f}")
+    worst_rise = float(np.diff(trace).max())
+    dissipated = h0 - float(trace[-1])
+    print(f"H: {h0:.6f} -> {trace[-1]:.6f} (dissipated {dissipated:.3e}; "
+          f"worst per-step rise {worst_rise:.3e})")
     edges = np.linspace(0, args.x_length, 9)[:-1]
     sampled = rho[:: max(1, args.nx // 8)][:8]
     print("density profile (8 samples):")
     for x, r in zip(edges, sampled):
         print(f"  x={x:.3f}: rho={r:.5f}")
+    if not (dissipated > 0.0) or worst_rise > args.h_tol * dissipated:
+        print("FAIL: H-theorem gate (entropy must dissipate monotonically "
+              f"within --h-tol {args.h_tol})", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -94,6 +94,12 @@ def main(argv=None):
                         "states (vanishes with --Ns: 6.9e-3 at Ns=6, "
                         "4.7e-5 at 12, 9.6e-7 at 32), not an advection "
                         "error — the MUSCL transport conserves to roundoff")
+    p.add_argument("--h-tol", type=float, default=0.01,
+                   help="H-theorem gate: max allowed per-step H increase as "
+                        "a fraction of the total dissipation |H_end - H_0| "
+                        "(transport is H-neutral in the continuum; the MUSCL "
+                        "limiter and the gain quadrature contribute "
+                        "bounded-small non-monotone noise)")
     args = p.parse_args(argv)
 
     import jax
@@ -148,52 +154,78 @@ def main(argv=None):
         f0 = bz.place_cells(f0, mesh, x_axis="cx", y_axis="cy")
 
     dv3 = g.cell_volume
-    vx = jnp.asarray(g.vx, cfg.real_dtype).reshape(1, 1, -1, 1, 1)
-    vy = jnp.asarray(g.vy, cfg.real_dtype).reshape(1, 1, 1, -1, 1)
+    # host np constants (device closure constants wedge remote-TPU tunnels)
+    vx = np.asarray(g.vx, cfg.real_dtype).reshape(1, 1, -1, 1, 1)
+    vy = np.asarray(g.vy, cfg.real_dtype).reshape(1, 1, 1, -1, 1)
 
     @jax.jit
     def diagnostics(f):
-        # moments reduce on device; only 2 scalars cross the host boundary
+        # moments reduce on device; only 3 scalars cross the host boundary
         rho = jnp.sum(f, axis=(2, 3, 4)) * dv3
         mom_x = jnp.sum(f * vx, axis=(2, 3, 4)) * dv3
         mom_y = jnp.sum(f * vy, axis=(2, 3, 4)) * dv3
         ke = 0.5 * jnp.sum((mom_x**2 + mom_y**2) / rho) * d * d
-        return jnp.sum(rho) * d * d, ke
+        # total Boltzmann H = sum_cells H(f_cell) dx dy — non-increasing
+        # along the full kinetic evolution (transport is H-neutral in the
+        # continuum; collisions dissipate) — the no-oracle physics monitor
+        h = jnp.sum(bz.entropy(f, cell_volume=dv3)) * d * d
+        return jnp.sum(rho) * d * d, ke, h
 
     # chain every step inside ONE jitted program: per-step dispatch over a
     # tunneled TPU costs ~30 ms and block_until_ready does not sync
-    # (docs/PERFORMANCE.md "timing methodology")
-    run = jax.jit(lambda f, pre: jax.lax.fori_loop(
-        0, args.steps, lambda i, x: step(x, pre), f))
+    # (docs/PERFORMANCE.md "timing methodology").  The scan carries the
+    # per-step H trace out as scalars (negligible vs the collision work).
+    @jax.jit
+    def run(f, pre):
+        def body(x, _):
+            x = step(x, pre)
+            return x, diagnostics(x)
+        return jax.lax.scan(body, f, None, length=args.steps)
 
     print(f"\nkinetic Taylor-Green 2D×3V: {nc}x{nc} cells x "
           f"{'x'.join(str(s) for s in cfg.grid_shape)} velocities, "
           f"Ns={args.Ns} impl={cfg.impl} dtype={dtype} scheme={args.scheme}")
     print(f"dt={dt:.4f} Kn={args.knudsen} U0={args.u0} ({mode})")
 
-    mass0, ke0 = (float(v) for v in diagnostics(f0))
+    mass0, ke0, h0 = (float(v) for v in diagnostics(f0))
     best = None
     for trial in range(args.trials):
         t0 = time.perf_counter()
-        f = run(f0, pre)
-        mass1, ke1 = (float(v) for v in diagnostics(f))  # syncs the chain
+        f, (mass_tr, ke_tr, h_tr) = run(f0, pre)
+        h_trace = np.asarray(h_tr, np.float64)  # D2H syncs the chain
         wall = time.perf_counter() - t0
         best = wall if best is None else min(best, wall)
         tag = " (compile)" if trial == 0 and args.trials > 1 else ""
         print(f"trial {trial}: {args.steps} steps in {wall:.2f}s = "
               f"{args.steps * nc * nc * 2 / wall:.1f} collision evals/s "
               f"aggregate{tag}")
+    mass1, ke1 = float(mass_tr[-1]), float(ke_tr[-1])
 
     drift = abs(mass1 - mass0) / mass0
     print(f"total mass: {mass0:.6f} -> {mass1:.6f} (rel drift {drift:.2e}; "
           f"gain-quadrature mass-moment error at Ns={cfg.ns})")
     print(f"bulk-KE: {ke0:.6f} -> {ke1:.6f} "
           f"({100.0 * ke1 / ke0:.1f}% of initial)")
+    trace = np.concatenate(([h0], h_trace))
+    stride = max(1, args.steps // 8)
+    samples = " ".join(
+        f"{h:.6f}" for h in trace[:: stride][: (args.steps // stride) + 1]
+    )
+    print(f"H trace (every {stride} steps): {samples} -> {trace[-1]:.6f}")
+    h_steps = np.diff(trace)
+    worst_rise = float(h_steps.max())
+    dissipated = h0 - float(trace[-1])
+    print(f"H: {h0:.6f} -> {trace[-1]:.6f} (dissipated {dissipated:.3e}; "
+          f"worst per-step rise {worst_rise:.3e})")
     if not (ke1 < ke0):
         print("FAIL: bulk kinetic energy must decay", file=sys.stderr)
         return 1
     if not np.isfinite(ke1) or drift > args.mass_tol:
         print("FAIL: conservation check", file=sys.stderr)
+        return 1
+    if not (dissipated > 0.0) or worst_rise > args.h_tol * dissipated:
+        print("FAIL: H-theorem gate (entropy must dissipate monotonically "
+              f"within --h-tol {args.h_tol})", file=sys.stderr)
         return 1
     return 0
 

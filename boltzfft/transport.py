@@ -168,8 +168,12 @@ def _cell_velocities(cfg: CollisionConfig, ndim: int):
     rd = cfg.real_dtype
     vs = (g.vx, g.vy, g.vz)[:ndim]
     lead = (1,) * ndim
+    # HOST numpy constants, not device arrays: a jnp closure constant must
+    # round-trip device->host at trace time to embed in the jitted program,
+    # which fails (and can wedge) remote-accelerator tunnels (verify skill
+    # notes).  np constants embed directly.
     return tuple(
-        jnp.asarray(v, rd).reshape(
+        np.asarray(v, rd).reshape(
             lead + tuple(-1 if k == i else 1 for k in range(3))
         )
         for i, v in enumerate(vs)

@@ -15,13 +15,21 @@ import numpy as np
 import boltzfft as bz
 
 
-def main():
-    cfg = bz.CollisionConfig(nv=32, ns=12)
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--Nv", type=int, default=32)
+    ap.add_argument("--Ns", type=int, default=12)
+    ap.add_argument("--steps", type=int, default=12)
+    args = ap.parse_args(argv)
+
+    cfg = bz.CollisionConfig(nv=args.Nv, ns=args.Ns)
     collide, pre = bz.make_collision_operator(cfg)
     g = cfg.velocity_grid
     v = jnp.asarray(g.v, cfg.real_dtype)
 
-    t0, dt, steps = 5.5, 0.25, 12
+    t0, dt, steps = 5.5, 0.25, args.steps
     f0 = jnp.asarray(np.asarray(bz.bkw_f(g.r_squared(), t0)), cfg.real_dtype)
 
     run = bz.make_relaxation(

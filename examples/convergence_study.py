@@ -21,10 +21,20 @@ import numpy as np
 import boltzfft as bz
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--max-nv", type=int, default=64,
+                    help="largest grid in the ladder (64 = full study)")
+    ap.add_argument("--Ns", type=int, default=12)
+    args = ap.parse_args(argv)
+
     print(f"{'Nv':>4} {'L1':>12} {'L2':>12} {'Linf':>12}")
     for nv in (8, 16, 24, 32, 48, 64):
-        cfg = bz.CollisionConfig(nv=nv, ns=12, n_radial=nv)
+        if nv > args.max_nv:
+            break
+        cfg = bz.CollisionConfig(nv=nv, ns=args.Ns, n_radial=nv)
         collide, pre = bz.make_collision_operator(cfg)
         g = cfg.velocity_grid
         rsq = g.r_squared()
