@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
-import re
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
@@ -59,24 +58,14 @@ def bench_rows():
     return src.name, rows
 
 
-def selfcheck_rows():
+def latest_selfcheck():
     src = latest("Results/selfcheck_matrix_r*.txt")
-    if src is None:
-        return None, []
-    rows = []
-    pat = re.compile(
-        r"^(ok|FAIL)\s+(\S+)\s+.*?linf[= ]([0-9.e+-]+)", re.IGNORECASE
-    )
-    for line in src.read_text().splitlines():
-        m = pat.match(line.strip())
-        if m:
-            rows.append((m.group(1), m.group(2), m.group(3)))
-    return src.name, rows
+    return src.name if src else None
 
 
 def render() -> str:
     bsrc, brows = bench_rows()
-    ssrc, _srows = selfcheck_rows()
+    ssrc = latest_selfcheck()
     out = [
         "# Accuracy — driver-captured, per impl and size",
         "",

@@ -85,7 +85,13 @@ if __name__ == "__main__":
         (1024, 1024, 4096), # ct yz reference shape (r=2, s2=1024)
         (512, 512, 4096),   # ct yz at r=4 (s2=256)? sanity ladder
         (64, 64, 8192),
-        (32, 32, 4096),     # kron-scheme x at 32^3
+        (32, 32, 4096),     # kron-scheme x at 32^3; also the radix-2
+                            # even/odd x-split stage shape at 64^3
+        (128, 64, 4096),    # sublane-parity candidate: schoolbook complex
+                            # product with [ar; ai] stacked on sublanes
+                            # (2 such dots replace 3 Karatsuba (64,64) dots
+                            # at 4/3 the MACs but full systolic rows)
+        (96, 96, 4096),     # 96^3 per-node x shape (for the ds 96^3 row)
     ]:
         fs = time_shape(m, k, n)
         print(f"({m:4d},{k:4d}) @ ({k:4d},{n:5d}): {fs/1e12:7.2f} TFLOP/s")

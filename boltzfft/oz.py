@@ -89,6 +89,24 @@ def slice_matrix(
     )
 
 
+_UPLOAD_SLICE_BYTES = 8 << 20  # remote-TPU tunnels choke on huge one-shot H2D
+
+
+def _upload_chunked(a: np.ndarray, dtype) -> jnp.ndarray:
+    """H2D in bounded leading-axis slices (the ds_operator table pattern):
+    at 96^3 a single per-node sliced table is ~170 MB, and one-shot
+    transfers of that size can wedge the remote-accelerator transport."""
+    a = np.ascontiguousarray(a)
+    if a.ndim == 0 or a.nbytes <= _UPLOAD_SLICE_BYTES:
+        return jnp.asarray(a, dtype)
+    rows_per = max(1, _UPLOAD_SLICE_BYTES // max(1, a[0:1].nbytes))
+    parts = [
+        jnp.asarray(a[i : i + rows_per], dtype)
+        for i in range(0, a.shape[0], rows_per)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def slice_matrix_nodes(
     m: np.ndarray, nslices: int = DEFAULT_SLICES_M, w: int = DEFAULT_W
 ) -> CSlicedMatrix:
@@ -102,8 +120,8 @@ def slice_matrix_nodes(
     m = np.asarray(m)
     sl = lambda comp: np.moveaxis(_host_slices(comp, nslices, w), 0, -3)
     return CSlicedMatrix(
-        re=jnp.asarray(sl(m.real), jnp.bfloat16),
-        im=jnp.asarray(sl(m.imag), jnp.bfloat16),
+        re=_upload_chunked(sl(m.real), jnp.bfloat16),
+        im=_upload_chunked(sl(m.imag), jnp.bfloat16),
     )
 
 

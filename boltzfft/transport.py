@@ -137,7 +137,9 @@ def make_inhomogeneous_step(
             f"scheme must be one of {sorted(_ADVECT_SCHEMES)}, got {scheme!r}"
         )
     advect = _ADVECT_SCHEMES[scheme]
-    v_x = jnp.asarray(cfg.velocity_grid.v, cfg.real_dtype)
+    # host np constant — a device closure constant would need a D2H
+    # round-trip at trace time (wedges remote-TPU tunnels)
+    v_x = np.asarray(cfg.velocity_grid.v, cfg.real_dtype)
     inv_kn = 1.0 / knudsen
 
     if vmap_cells:
