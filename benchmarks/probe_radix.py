@@ -137,26 +137,36 @@ def time_preslice(rows, k, trials=3, chain=8):
 def main():
     print(f"backend: {jax.default_backend()}")
     print("\n## bf16 staircase dot shapes (rows, K) @ (K, L), f32 accum")
-    print(f"{'shape':>22s} {'TMAC/s':>8s} {'rel/MAC':>8s} "
-          f"{'MACs/elem':>9s} {'effective':>9s}")
-    base = None
+    print("# The CURRENT dense kernel does NOT issue (64,64) dots: the "
+          "block-Toeplitz staircase\n# (_toeplitz_mats, _GROUP_LEVELS=2) "
+          "lane-concatenates chunk prefixes and level pairs,\n# so its "
+          "level-group dots are (rb, n*64) @ (n*64, 128) with n = 2/4/6/7 "
+          "— deep-K,\n# full-lane shapes.  A radix-R*S factorization "
+          "shrinks BOTH dims by N/S per stage.")
     rowcases = [
-        (512, 64, 64, 64, "dense N=64 (current)"),
-        (512, 32, 32, 2 * 32, "radix-2 stages (2x32)"),
-        (512, 16, 16, 4 * 16, "radix 4x16"),
-        (512, 8, 8, 2 * 8, "balanced R=S=8"),
-        (1024, 8, 8, 2 * 8, "R=S=8, taller rows"),
-        (512, 8, 64, 2 * 8, "R=8 stage, full lanes L=64"),
+        # current dense kernel's actual staircase group shapes (K block 64)
+        (512, 128, 128, "dense group 0 (n=2)"),
+        (512, 256, 128, "dense group 1 (n=4)"),
+        (512, 384, 128, "dense group 2 (n=6)"),
+        (512, 448, 64, "dense tail group (n=7, 1 level)"),
+        # radix-2 stage analogs (K block 32, same staircase structure)
+        (512, 64, 64, "radix-2 group 0"),
+        (512, 128, 64, "radix-2 group 1"),
+        (512, 192, 64, "radix-2 group 2"),
+        # balanced R=S=8 stage analogs (K block 8)
+        (512, 16, 16, "radix-8 group 0"),
+        (512, 32, 16, "radix-8 group 1"),
+        (512, 48, 16, "radix-8 group 2"),
+        # single-block comparison ladder (no staircase concatenation)
+        (512, 64, 64, "plain 64x64 block"),
+        (512, 32, 32, "plain 32x32 block"),
+        (512, 8, 8, "plain 8x8 block"),
     ]
-    for rows, k, ell, macs_per_elem, label in rowcases:
+    print(f"{'shape':>24s} {'TMAC/s':>8s}")
+    for rows, k, ell, label in rowcases:
         rate = time_bf16_dot(rows, k, ell)
-        if base is None:
-            base = rate
-            base_macs = macs_per_elem
-        # effective speedup vs dense: (dense MACs / this MACs) * (rate/base)
-        eff = (base_macs / macs_per_elem) * (rate / base)
-        print(f"({rows:5d},{k:3d})@({k:3d},{ell:3d}) {rate/1e12:8.2f} "
-              f"{rate/base:8.2f} {macs_per_elem:9d} {eff:9.2f}  # {label}")
+        print(f"({rows:5d},{k:4d})@({k:4d},{ell:3d}) {rate/1e12:8.2f}"
+              f"  # {label}")
 
     print("\n## inter-stage re-slice cost (preslice_rows, sx=7)")
     for rows, k in [(2048, 64), (4096, 64)]:

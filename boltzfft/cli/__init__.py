@@ -114,6 +114,26 @@ def vhs_kwargs(args) -> dict:
     return kw
 
 
+def enable_cache_default() -> None:
+    """Turn on the persistent XLA compilation cache for CLI runs (the FFTW
+    wisdom-file analog, `boltzfft.cache`): a driver rerun at the same config
+    skips the multi-minute compile.  Respects an explicit
+    ``JAX_COMPILATION_CACHE_DIR`` and can be disabled with
+    ``BOLTZFFT_NO_CACHE=1``.  Failures are non-fatal (read-only homes)."""
+    import os
+
+    if os.environ.get("BOLTZFFT_NO_CACHE") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # jax picks the env var up itself
+    try:
+        from boltzfft import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
 def default_dtype() -> str:
     """float64 when the active backend supports it, else float32."""
     import jax

@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--chain", type=int, default=8, help="FFT passes chained per timed jit call")
     args = p.parse_args(argv)
 
+    from boltzfft.cli import enable_cache_default
+    enable_cache_default()
+
     import jax
     import jax.numpy as jnp
 

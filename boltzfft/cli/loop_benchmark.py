@@ -37,6 +37,9 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
+    from boltzfft.cli import enable_cache_default
+    enable_cache_default()
+
     import jax
     import jax.numpy as jnp
 

@@ -25,6 +25,9 @@ def main(argv=None):
                    help="BKW start time for relaxation mode")
     args = p.parse_args(argv)
 
+    from boltzfft.cli import enable_cache_default
+    enable_cache_default()
+
     import jax.numpy as jnp
 
     import boltzfft as bz

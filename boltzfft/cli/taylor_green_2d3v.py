@@ -102,6 +102,9 @@ def main(argv=None):
                         "bounded-small non-monotone noise)")
     args = p.parse_args(argv)
 
+    from boltzfft.cli import enable_cache_default
+    enable_cache_default()
+
     import jax
     import jax.numpy as jnp
 

@@ -105,6 +105,9 @@ def main(argv=None):
                         "a fraction of the total dissipation |H_end - H_0|")
     args = p.parse_args(argv)
 
+    from boltzfft.cli import enable_cache_default
+    enable_cache_default()
+
     import jax
     import jax.numpy as jnp
 

@@ -179,3 +179,31 @@ class TestTaylorGreen2D3V:
 
         with pytest.raises(SystemExit):
             main(["--cells", "4", "--Nv", "8", "--Ns", "6", "--impl", "ds"])
+
+
+class TestTaylorGreen3D3V:
+    def test_runs_and_decays(self, capsys):
+        from boltzfft.cli.taylor_green_3d3v import main
+
+        assert main(["--cells", "4", "--Nv", "8", "--Ns", "6",
+                     "--steps", "2", "--n-radial", "4",
+                     "--mass-tol", "0.05"]) == 0
+        out = capsys.readouterr().out
+        assert "bulk-KE" in out and "cells vmapped" in out
+        assert "H trace" in out
+
+    def test_sharded_mode_line(self, capsys):
+        from boltzfft.cli.taylor_green_3d3v import main
+
+        assert main(["--cells", "4", "--Nv", "8", "--Ns", "6",
+                     "--steps", "2", "--n-radial", "4",
+                     "--mass-tol", "0.05", "--mesh", "2x2x2"]) == 0
+        out = capsys.readouterr().out
+        assert "spatial decomposition 2x2x2" in out
+
+    def test_bad_mesh_split(self):
+        from boltzfft.cli.taylor_green_3d3v import main
+
+        with pytest.raises(SystemExit):
+            main(["--cells", "6", "--Nv", "8", "--Ns", "6",
+                  "--mesh", "4x2x1"])
