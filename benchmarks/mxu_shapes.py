@@ -82,8 +82,9 @@ if __name__ == "__main__":
         (128, 128, 4096),   # block-diag node pair (2x FLOPs, half useful)
         (256, 256, 4096),   # block-diag node quad
         (128, 128, 8192),   # pair + both sides on lanes
-        (1024, 1024, 4096), # ct yz reference shape (r=2, s2=1024)
-        (512, 512, 4096),   # ct yz at r=4 (s2=256)? sanity ladder
+        # ((1024,1024)@(1024,4096) and (512,512)@(512,4096) crash the
+        # round-5 tunnel's compile helper with a register-spill VMEM OOM —
+        # the r2 environment compiled them; measured 2026-08-20, skip)
         (64, 64, 8192),
         (32, 32, 4096),     # kron-scheme x at 32^3; also the radix-2
                             # even/odd x-split stage shape at 64^3

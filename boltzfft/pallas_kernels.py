@@ -23,6 +23,7 @@ hardware.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -512,7 +513,7 @@ def _block_dft_2d(blocks, ry, rz, sign):
 
 
 def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
-                     precision, io):
+                     precision, io, x_stacked=False):
     """The ct-scheme megakernel (per-axis sizes/radices; cubic grids pass
     nx = ny = nz, ry = rz).
 
@@ -549,6 +550,28 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
         p2 = dot(ai, bi)
         p3 = dot(ar + ai, br + bi)
         return p1 - p2, p3 - p1 - p2
+
+    def cmm_stacked(m_stk, br, bi):
+        # sublane-parity split (x_stacked): the complex left operand rides
+        # as [re; im] stacked on SUBLANES (2nx, nx) and the product runs
+        # as TWO schoolbook dots of shape (2nx, nx) @ (nx, n2) instead of
+        # three Karatsuba (nx, nx) dots.  4/3 the MACs, but the M=2nx=128
+        # shape runs ~1.66x the M=64 rate on the 128x128 systolic array
+        # (measured, benchmarks/mxu_shapes.py) — a net ~20% on this leg.
+        dot = partial(jnp.dot, preferred_element_type=dt, precision=precision)
+        t = dot(m_stk, br)  # [re@br ; im@br]
+        u = dot(m_stk, bi)  # [re@bi ; im@bi]
+        return t[:nx] - u[nx:], u[:nx] + t[nx:]
+
+    def real_x_stacked(mr, mi, tr, ti):
+        # real part of a complex left-multiply as ONE depth-2nx dot:
+        # Re(M T) = mr@tr - mi@ti = [mr | -mi] @ [tr ; ti] — same MACs,
+        # full 128-deep K on the systolic array
+        dot = partial(jnp.dot, preferred_element_type=dt, precision=precision)
+        return dot(
+            jnp.concatenate([mr, -mi], axis=1),
+            jnp.concatenate([tr, ti], axis=0),
+        )
 
     kr, ki = kr_ref[:], ki_ref[:]
     vr, vi = vr_ref[:], vi_ref[:]
@@ -597,12 +620,21 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
                 jnp.dot, preferred_element_type=dt, precision=precision
             )
             fp = fpr_ref[:]  # (N, N^2) real, position-permuted
-            fhr, fhi = yz_forward(dot(fwr_ref[:], fp), dot(fwi_ref[:], fp))
+            if x_stacked:
+                t = dot(jnp.concatenate([fwr_ref[:], fwi_ref[:]], axis=0), fp)
+                fhr, fhi = yz_forward(t[:nx], t[nx:])
+            else:
+                fhr, fhi = yz_forward(
+                    dot(fwr_ref[:], fp), dot(fwi_ref[:], fp)
+                )
             fhr_s[:] = fhr
             fhi_s[:] = fhi
             b2 = b2_ref[:]
             tr, ti = yz_inverse(b2 * fhr, b2 * fhi)
-            b2f_s[:] = dot(vr, tr) - dot(vi, ti)  # Re of the x inverse
+            if x_stacked:
+                b2f_s[:] = real_x_stacked(vr, vi, tr, ti)
+            else:
+                b2f_s[:] = dot(vr, tr) - dot(vi, ti)  # Re of the x inverse
 
     if io:
         fr, fi = fhr_s[:], fhi_s[:]
@@ -642,10 +674,18 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
                 axi = axi_ref[idx, :]
                 m1r = vr * axr - vi * axi
                 m1i = vr * axi + vi * axr
-                g1r, g1i = cmm(m1r, m1i, y1r[rs], y1i[rs])
                 m2r = vr * axr + vi * axi
                 m2i = vi * axr - vr * axi
-                g2r, g2i = cmm(m2r, m2i, y2r[rs], y2i[rs])
+                if x_stacked:
+                    g1r, g1i = cmm_stacked(
+                        jnp.concatenate([m1r, m1i], axis=0), y1r[rs], y1i[rs]
+                    )
+                    g2r, g2i = cmm_stacked(
+                        jnp.concatenate([m2r, m2i], axis=0), y2r[rs], y2i[rs]
+                    )
+                else:
+                    g1r, g1i = cmm(m1r, m1i, y1r[rs], y1i[rs])
+                    g2r, g2i = cmm(m2r, m2i, y2r[rs], y2i[rs])
                 w = gw_ref[idx]
                 sr = sr + w * (g1r * g2r - g1i * g2i)
             return sr
@@ -654,7 +694,13 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
         # one forward transform per radial group (beta1 depends only on
         # rho); the group sum is real (Im dropped above)
         dot = partial(jnp.dot, preferred_element_type=dt, precision=precision)
-        sr, si = dot(fwr_ref[:], sr), dot(fwi_ref[:], sr)
+        if x_stacked:
+            # real right operand: both component dots ride one stacked
+            # (2nx, nx) @ (nx, n2) product
+            t = dot(jnp.concatenate([fwr_ref[:], fwi_ref[:]], axis=0), sr)
+            sr, si = t[:nx], t[nx:]
+        else:
+            sr, si = dot(fwr_ref[:], sr), dot(fwi_ref[:], sr)
         sr, si = yz_forward(sr, si)
         arg = (coef * rho_ref[base + g * gs]) * nl + eps
         beta1 = amp * jnp.sin(arg) / arg
@@ -671,7 +717,10 @@ def _fused_ct_kernel(*refs, nx, ny, nz, ry, rz, c, cc, gs, coef, amp, eps,
                 jnp.dot, preferred_element_type=dt, precision=precision
             )
             tr, ti = yz_inverse(accr[:], acci[:])
-            q_gain = dot(vr, tr) - dot(vi, ti)  # Re of the x inverse
+            if x_stacked:
+                q_gain = real_x_stacked(vr, vi, tr, ti)
+            else:
+                q_gain = dot(vr, tr) - dot(vi, ti)  # Re of the x inverse
             q_ref[:] = q_gain - b2f_s[:] * fpr_ref[:]
 
 
@@ -763,12 +812,17 @@ def _fused_gain_ct(
 
     eps = float(np.finfo(dt).eps)
     prec = _PRECISION_MAP[precision]
+    # Sublane-parity / stacked x-dot experiment (round 5, BOLTZFFT_X_STACKED=1):
+    # per-node complex x inverses run as stacked (2nx, nx) schoolbook dots,
+    # real-part legs as depth-2nx K-stacked dots.  Opt-in A/B knob; the
+    # measured outcome is recorded in docs/PERFORMANCE.md.
+    x_stacked = os.environ.get("BOLTZFFT_X_STACKED", "0") == "1"
     kernel = partial(
         _fused_ct_kernel,
         nx=nx, ny=ny, nz=nz, ry=ry, rz=rz, c=c, cc=cc, gs=gs, io=io,
         coef=math.pi / (2.0 * length),
         amp=4.0 * math.pi * b_gamma,
-        eps=eps, precision=prec,
+        eps=eps, precision=prec, x_stacked=x_stacked,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
