@@ -208,7 +208,8 @@ def _measure_tg2d(cells: int = 16, nv: int = 16, steps: int = 10) -> dict:
     from boltzfft import transport
     from boltzfft.cli.taylor_green_2d3v import taylor_green_f0
 
-    cfg = bz.CollisionConfig(nv=nv, ns=12, impl="rfft", dtype="float32")
+    impl = "fused" if jax.default_backend() == "tpu" else "rfft"
+    cfg = bz.CollisionConfig(nv=nv, ns=12, impl=impl, dtype="float32")
     g = cfg.velocity_grid
     d = 1.0 / cells
     dt = transport.cfl_dt(float(np.abs(np.asarray(g.v)).max()), d)
@@ -233,7 +234,7 @@ def _measure_tg2d(cells: int = 16, nv: int = 16, steps: int = 10) -> dict:
     return {
         "value": round(rate, 1),
         "unit": "aggregate collision evals/s",
-        "impl": "rfft, cells vmapped",
+        "impl": f"{impl}, cells vmapped",
         "config": f"{cells}x{cells} cells x {nv}^3, {steps} Strang steps",
     }
 

@@ -30,10 +30,14 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
         help="compute dtype (default: float64 if the backend supports it)",
     )
     p.add_argument(
-        "--impl", choices=["rfft", "c2c", "dft", "fused", "ds"], default="rfft",
+        "--impl", choices=["auto", "rfft", "c2c", "dft", "fused", "ds"],
+        default="rfft",
         help="pipeline: rfft (real transforms, default), c2c (reference-"
              "faithful), dft (MXU einsums), fused (Pallas megakernel), "
-             "ds (compensated double-single: f64-class accuracy on f32 TPUs)",
+             "ds (compensated double-single: f64-class accuracy on f32 "
+             "TPUs); auto = fused on TPU / rfft elsewhere (the spatial "
+             "drivers' default — the vmapped megakernel is ~9x the staged "
+             "pipeline on cell batches, Results/taylor_green_r5.txt)",
     )
     p.add_argument(
         "--ds-contract", choices=["vpu", "oz", "ozk"], default=None,
@@ -112,6 +116,19 @@ def vhs_kwargs(args) -> dict:
     else:
         kw["b_gamma"] = 1.0 / (4.0 * math.pi)
     return kw
+
+
+def resolve_impl(impl: str) -> str:
+    """Resolve ``--impl auto``: the fused megakernel on TPU (the vmapped
+    kernel batches cells at ~9x the staged pipeline — measured,
+    Results/taylor_green_r5.txt; it self-degrades to staged rfft past its
+    VMEM ceiling), staged rfft elsewhere (interpret-mode Pallas on CPU is
+    a debugging path, not a speed path)."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "fused" if jax.default_backend() == "tpu" else "rfft"
 
 
 def enable_cache_default() -> None:

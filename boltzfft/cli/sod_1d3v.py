@@ -22,6 +22,7 @@ def main(argv=None):
     from boltzfft.cli import default_dtype, standard_parser
 
     p = standard_parser(__doc__)
+    p.set_defaults(impl="auto")
     p.add_argument("--nx", type=int, default=32, help="spatial cells (periodic)")
     p.add_argument("--x-length", type=float, default=1.0)
     p.add_argument("--steps", type=int, default=20)
@@ -37,7 +38,7 @@ def main(argv=None):
                         "a fraction of the total dissipation |H_end - H_0|")
     args = p.parse_args(argv)
 
-    from boltzfft.cli import enable_cache_default
+    from boltzfft.cli import enable_cache_default, resolve_impl
     enable_cache_default()
 
     import jax
@@ -47,7 +48,7 @@ def main(argv=None):
     from boltzfft import transport
 
     dtype = args.dtype or default_dtype()
-    cfg = bz.CollisionConfig(nv=args.Nv, ns=args.Ns, impl=args.impl,
+    cfg = bz.CollisionConfig(nv=args.Nv, ns=args.Ns, impl=resolve_impl(args.impl),
                              dtype=dtype, node_chunk=args.node_chunk,
                              n_radial=args.n_radial or args.Nv)
     g = cfg.velocity_grid

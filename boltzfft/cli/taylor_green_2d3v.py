@@ -73,7 +73,7 @@ def main(argv=None):
     # 6.9e-3 (Ns=6) -> 4.7e-5 (12) -> 9.6e-7 (32), Nv-independent.  The
     # homogeneous BKW drivers are isotropic and never see this.
     p = standard_parser(__doc__.splitlines()[0])
-    p.set_defaults(Nv=16, Ns=12)
+    p.set_defaults(Nv=16, Ns=12, impl="auto")
     p.add_argument("--cells", type=int, default=16,
                    help="spatial cells per axis (periodic square)")
     p.add_argument("--steps", type=int, default=20)
@@ -102,7 +102,7 @@ def main(argv=None):
                         "bounded-small non-monotone noise)")
     args = p.parse_args(argv)
 
-    from boltzfft.cli import enable_cache_default
+    from boltzfft.cli import enable_cache_default, resolve_impl
     enable_cache_default()
 
     import jax
@@ -117,7 +117,7 @@ def main(argv=None):
 
     dtype = args.dtype or default_dtype()
     cfg = bz.CollisionConfig(
-        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=args.impl,
+        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=resolve_impl(args.impl),
         dtype=dtype, node_chunk=args.node_chunk,
         n_radial=args.n_radial or args.Nv, **vhs_kwargs(args),
     )

@@ -81,7 +81,7 @@ def main(argv=None):
     # (anisotropic) states see the k=0 gain/loss quadrature mismatch, and
     # the mass drift is the design's quadrature error, not advection error.
     p = standard_parser(__doc__.splitlines()[0])
-    p.set_defaults(Nv=16, Ns=12)
+    p.set_defaults(Nv=16, Ns=12, impl="auto")
     p.add_argument("--cells", type=int, default=8,
                    help="spatial cells per axis (periodic cube)")
     p.add_argument("--steps", type=int, default=10)
@@ -105,7 +105,7 @@ def main(argv=None):
                         "a fraction of the total dissipation |H_end - H_0|")
     args = p.parse_args(argv)
 
-    from boltzfft.cli import enable_cache_default
+    from boltzfft.cli import enable_cache_default, resolve_impl
     enable_cache_default()
 
     import jax
@@ -120,7 +120,7 @@ def main(argv=None):
 
     dtype = args.dtype or default_dtype()
     cfg = bz.CollisionConfig(
-        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=args.impl,
+        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=resolve_impl(args.impl),
         dtype=dtype, node_chunk=args.node_chunk,
         n_radial=args.n_radial or args.Nv, **vhs_kwargs(args),
     )
