@@ -37,7 +37,7 @@ def main(argv=None):
                         "test asserts strict monotonicity)")
     args = p.parse_args(argv)
 
-    from boltzfft.cli import enable_cache_default
+    from boltzfft.cli import enable_cache_default, resolve_impl
     enable_cache_default()
 
     import jax
@@ -59,7 +59,7 @@ def main(argv=None):
     print(f"\nEnsemble relaxation: E={args.ensemble}, Nv={args.Nv}, Ns={args.Ns}, "
           f"mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}, dtype={dtype}")
 
-    cfg = bz.CollisionConfig(nv=args.Nv, ns=args.Ns, impl=args.impl, dtype=dtype,
+    cfg = bz.CollisionConfig(nv=args.Nv, ns=args.Ns, impl=resolve_impl(args.impl), dtype=dtype,
                              node_chunk=args.node_chunk)
     collide_fn, pre = bz.make_sharded_collision_operator(
         cfg, mesh,

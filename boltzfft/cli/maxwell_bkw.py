@@ -25,7 +25,7 @@ def main(argv=None):
                    help="BKW start time for relaxation mode")
     args = p.parse_args(argv)
 
-    from boltzfft.cli import enable_cache_default
+    from boltzfft.cli import enable_cache_default, resolve_impl
     enable_cache_default()
 
     import jax.numpy as jnp
@@ -44,7 +44,7 @@ def main(argv=None):
 
     # Maxwell molecules by default (maxwell_bkw_fftw.cpp:54-55); t = 6.5 (:74)
     cfg = bz.CollisionConfig(
-        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=args.impl,
+        nv=args.Nv, nvy=args.Nvy, nvz=args.Nvz, ns=args.Ns, impl=resolve_impl(args.impl),
         dtype=dtype, node_chunk=args.node_chunk, n_radial=args.n_radial,
         **vhs_kwargs(args),
     )
