@@ -184,7 +184,24 @@ def main():
             result["ds_oz_nv64_ns12_cmax4"] = {
                 "error": f"{type(e).__name__}: {e}"[:200]
             }
-        # seventh tracked config: the spatial production workload — the
+        # seventh tracked config: batched independent evals at the
+        # flagship size.  The REFERENCE's own trials are repeated
+        # INDEPENDENT evals of the same input (maxwell_bkw_fftw.cpp:
+        # 133-140, no chaining), so aggregate throughput over independent
+        # distributions is the closer-to-reference semantic; the chained
+        # headline above is the stricter latency-style bound.  vmap of
+        # the megakernel is bitwise-identical to per-call (measured).
+        # At 32^3 batching hides the inter-launch gaps the chain pays
+        # (1.58x); at 64^3 the longer kernel already hides them (+5%).
+        try:
+            result["fused_nv32_ns12_batch8"] = _measure_fused_batch(
+                32, 12, e=8, k=64
+            )
+        except Exception as e:
+            result["fused_nv32_ns12_batch8"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]
+            }
+        # eighth tracked config: the spatial production workload — the
         # 2D x 3V Taylor-Green solver (Strang MUSCL transport + per-cell
         # collisions), the "production story the collision kernel exists
         # to serve" measured on hardware every round (round-4 verdict ask
@@ -198,6 +215,45 @@ def main():
     finally:
         signal.alarm(0)
     print(json.dumps(result))
+
+
+def _measure_fused_batch(nv: int, ns: int, e: int, k: int) -> dict:
+    """Aggregate evals/s of e INDEPENDENT chained relaxations (vmapped
+    megakernel) — the reference's own trial semantics (independent evals,
+    ``maxwell_bkw_fftw.cpp:133-140``) in throughput form."""
+    cfg = bz.CollisionConfig(nv=nv, ns=ns, impl="fused", dtype="float32")
+    pre = bz.build_precomp(cfg)
+    g = cfg.velocity_grid
+    f0 = np.asarray(bz.bkw_f(g.r_squared(), 6.5), np.float64)
+    batch = jnp.asarray(
+        np.stack([f0 * (1 + 0.01 * i) for i in range(e)]), jnp.float32
+    )
+    dq = jnp.asarray(np.asarray(bz.bkw_dfdt(g.r_squared(), 6.5)), jnp.float32)
+    vcoll = jax.vmap(lambda x: bz.collide(cfg, pre, x))
+
+    @jax.jit
+    def chain(x, d):
+        out = jax.lax.fori_loop(0, k, lambda i, s: s + 1e-3 * vcoll(s), x)
+        err = jnp.max(jnp.abs(bz.collide(cfg, pre, x[0]) - d))
+        return jnp.sum(out), err
+
+    s, err = chain(batch, dq)
+    float(s)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, err = chain(batch, dq)
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    rate = (e * k + 1) / best
+    return {
+        "value": round(rate, 2),
+        "unit": "aggregate evals/s",
+        "vs_baseline": round(rate / BASELINE_EVALS_PER_S, 3),
+        "impl": "fused, vmapped",
+        "throughput_class": f"{e}_independent_relaxations",
+        "bkw_linf": float(f"{float(err):.4e}"),
+    }
 
 
 def _measure_tg2d(cells: int = 16, nv: int = 16, steps: int = 10) -> dict:
