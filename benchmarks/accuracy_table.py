@@ -33,6 +33,10 @@ _BENCH_ROWS = {
     "ds_oz_nv64_ns12_cmax4": (
         "ds-oz oz_cmax=4", "64^3", "accuracy midpoint (frontier row)"
     ),
+    "fused_nv32_ns12_batch8": (
+        "fused, vmapped batch", "32^3",
+        "8 independent relaxations (the reference's own trial semantics)"
+    ),
 }
 
 
