@@ -10,6 +10,8 @@ RK time stepping, and ICI sharding of the quadrature-node and ensemble axes.
 
 from .bkw import bkw_dfdt, bkw_f, bkw_k, maxwellian
 from .grid import VelocityGrid, domain_from_support
+from .conserve import (ConservePrecomp, build_conserve_precomp,
+                       conservative, project)
 from .moments import Moments, entropy, moments
 from .operator import (collide, fused_fits_vmem, gain_spectrum,
                        make_collision_operator)
@@ -106,6 +108,10 @@ __all__ = [
     "fused_fits_vmem",
     "domain_from_support",
     "entropy",
+    "ConservePrecomp",
+    "build_conserve_precomp",
+    "conservative",
+    "project",
     "error_norms",
     "error_norms_device",
     "gain_spectrum",

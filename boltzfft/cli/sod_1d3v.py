@@ -33,6 +33,8 @@ def main(argv=None):
                    help="shard cells over this many devices (ensemble axis)")
     p.add_argument("--scheme", choices=["muscl", "upwind"], default="muscl",
                    help="advection scheme (muscl = 2nd-order TVD, default)")
+    p.add_argument("--conserve", action="store_true",
+                   help="project every Q onto vanishing invariant moments\n(bz.conservative): exact per-step conservation")
     p.add_argument("--h-tol", type=float, default=0.01,
                    help="H-theorem gate: max allowed per-step H increase as "
                         "a fraction of the total dissipation |H_end - H_0|")
@@ -60,12 +62,20 @@ def main(argv=None):
         collide_fn, pre = bz.make_sharded_collision_operator(
             cfg, mesh, node_axis=None, ensemble_axis=bz.ENSEMBLE_AXIS, jit=False
         )
+        if args.conserve:
+            collide_fn = bz.conservative(
+                collide_fn, bz.build_conserve_precomp(cfg, temperature=1.0)
+            )
         step = transport.make_inhomogeneous_step(
             cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen,
             vmap_cells=False, scheme=args.scheme,
         )
     else:
         collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+        if args.conserve:
+            collide_fn = bz.conservative(
+                collide_fn, bz.build_conserve_precomp(cfg, temperature=1.0)
+            )
         step = transport.make_inhomogeneous_step(
             cfg, collide_fn, dx=dx, dt=dt, knudsen=args.knudsen,
             scheme=args.scheme,

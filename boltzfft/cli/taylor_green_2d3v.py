@@ -88,6 +88,8 @@ def main(argv=None):
                    help="spatial device decomposition, e.g. 4x2 (default: "
                         "single device, cells vmapped)")
     p.add_argument("--scheme", choices=["muscl", "upwind"], default="muscl")
+    p.add_argument("--conserve", action="store_true",
+                   help="project every Q onto vanishing invariant moments\n(bz.conservative): exact per-step mass/momentum/energy at a small\npointwise perturbation within the method-error class on resolved grids")
     p.add_argument("--mass-tol", type=float, default=1e-2,
                    help="relative mass-drift gate; the drift is the gain "
                         "quadrature's mass-moment error on anisotropic "
@@ -128,6 +130,10 @@ def main(argv=None):
         float(np.abs(np.asarray(g.v)).max()), d
     )
     collide_fn, pre = bz.make_collision_operator(cfg, jit=False)
+    if args.conserve:
+        collide_fn = bz.conservative(
+            collide_fn, bz.build_conserve_precomp(cfg, temperature=args.temperature)
+        )
 
     if args.mesh:
         try:
