@@ -96,3 +96,21 @@ class TestDriverFlag:
                      "--mass-tol", "1e-5"]) == 0
         out = capsys.readouterr().out
         assert "bulk-KE" in out
+
+    def test_anisotropic_grid(self):
+        # per-axis coordinates and cell_volume flow through the basis
+        # build; moments (computed with the anisotropic convention)
+        # still vanish
+        cfg = bz.CollisionConfig(nv=8, nvy=12, nvz=10, ns=6, n_radial=2)
+        collide, pre = bz.make_collision_operator(cfg, jit=False)
+        cp = bz.build_conserve_precomp(cfg)
+        g = cfg.velocity_grid
+        f = jnp.asarray(bz.bkw_f(g.r_squared(), 6.5))
+        qp = bz.project(collide(f, pre), cp)
+        m = bz.moments(
+            qp, (jnp.asarray(g.vx), jnp.asarray(g.vy), jnp.asarray(g.vz)),
+            cell_volume=g.cell_volume,
+        )
+        assert abs(float(m.mass)) < 1e-12
+        assert float(jnp.max(jnp.abs(m.momentum))) < 1e-12
+        assert abs(float(m.energy)) < 1e-11
